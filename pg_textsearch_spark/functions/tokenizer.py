@@ -1,0 +1,243 @@
+"""Tokenization: text -> (term, tf) multiset, the engine's front door.
+
+Reference semantics (pg_textsearch delegates to Postgres text-search
+configs, then extracts ``(lexeme, tf)`` with ``doc_len = sum(tf)``;
+reference: src/access/build.c:734-788):
+
+- tf(d, t) = number of occurrences of lexeme t after config processing
+  (lowercase -> word segmentation -> stopword removal -> stemming).
+- doc_len  = sum of tf over the doc's surviving lexemes
+  (reference: build.c:781).
+- tokens longer than 2047 chars are dropped (Postgres MAXSTRLEN;
+  reference: README.md:581-593).
+- documents larger than 256 KB are tokenized in chunks split at the
+  last ASCII whitespace at or before the boundary, then per-term tf
+  summed (reference: build.c:806-1059). Our tokenizers are
+  position-independent so chunked == unchunked by construction; the
+  chunker exists to bound per-row memory and is equivalence-tested.
+- ``text[]`` columns are space-joined first, skipping NULL/empty
+  elements (reference: src/types/array.c:36-70) — use
+  ``F.concat_ws(" ", col)`` / ``array_join`` before tokenizing.
+
+We define three configs (the reference's configs are Postgres objects;
+ours are tokenizer specs pinned by conformance fixtures):
+
+- ``ascii``   : runs of [a-z0-9] over lowercased text. Exactly
+                expressible in ANSI SQL (DuckDB oracle parity).
+- ``simple``  : runs of Unicode letters/digits over lowercased text
+                (Postgres 'simple' analog).
+- ``english`` : simple + Snowball english stopwords + Porter2 stem
+                (Postgres 'english' analog).
+
+Scale design: the hot build path never runs per-row Python — for all
+configs word segmentation is a JVM-side ``split``/``explode`` (whole-
+stage codegen); only the ``english`` config additionally runs an
+Arrow-batched pandas UDF over the *term column* with an lru-cached
+stemmer (unique-term bound per batch). The pure-Python ``tokenize``
+here is the conformance oracle and the driver-side query tokenizer.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pg_textsearch_spark.functions.stemmer import stem
+from pg_textsearch_spark.functions.stopwords import ENGLISH_STOPWORDS
+
+TOKEN_MAX_CHARS = 2047  # Postgres MAXSTRLEN (reference: README.md:581-593)
+CHUNK_BYTES = 256 * 1024  # TP_TSVECTOR_CHUNK_BYTES (reference: build.c:806)
+
+
+@dataclass(frozen=True)
+class TokenizerConfig:
+    name: str
+    py_pattern: str  # Python re pattern matching one token
+    sql_split_pattern: str  # Java/DuckDB regex splitting on non-token runs
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+    do_stem: bool = False
+
+
+CONFIGS: dict[str, TokenizerConfig] = {
+    "ascii": TokenizerConfig(
+        name="ascii",
+        py_pattern=r"[a-z0-9]+",
+        sql_split_pattern=r"[^a-z0-9]+",
+    ),
+    "simple": TokenizerConfig(
+        name="simple",
+        py_pattern=r"[^\W_]+",
+        sql_split_pattern=r"[^\p{L}\p{N}]+",
+    ),
+    "english": TokenizerConfig(
+        name="english",
+        py_pattern=r"[^\W_]+",
+        sql_split_pattern=r"[^\p{L}\p{N}]+",
+        stopwords=ENGLISH_STOPWORDS,
+        do_stem=True,
+    ),
+}
+
+
+def get_config(name: str) -> TokenizerConfig:
+    try:
+        return CONFIGS[name]
+    except KeyError:
+        raise ValueError(f"unknown text config {name!r}; have {sorted(CONFIGS)}")
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python path (conformance oracle + driver-side query tokenization)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_boundaries(text: str, chunk_bytes: int = CHUNK_BYTES):
+    """Split text into chunks of <= chunk_bytes bytes at ASCII whitespace.
+
+    Mirrors the reference's chunked tokenization for >256 KB docs
+    (reference: build.c:867-898 — split at last ASCII whitespace at or
+    before the byte boundary, falling back to a character boundary).
+    """
+    data = text.encode("utf-8")
+    if len(data) <= chunk_bytes:
+        yield text
+        return
+    start = 0
+    n = len(data)
+    while start < n:
+        end = min(start + chunk_bytes, n)
+        if end < n:
+            ws = max(
+                data.rfind(b" ", start, end),
+                data.rfind(b"\t", start, end),
+                data.rfind(b"\n", start, end),
+                data.rfind(b"\r", start, end),
+            )
+            if ws > start:
+                end = ws + 1
+            else:
+                # no whitespace: back up to a utf-8 char boundary
+                while end > start and (data[end] & 0xC0) == 0x80:
+                    end -= 1
+                if end == start:
+                    end = min(start + chunk_bytes, n)
+        yield data[start:end].decode("utf-8", errors="ignore")
+        start = end
+
+
+def token_stream(text: str, config: TokenizerConfig | str = "english") -> list[str]:
+    """Ordered surviving tokens of one document (post stop/stem)."""
+    cfg = get_config(config) if isinstance(config, str) else config
+    rx = re.compile(cfg.py_pattern)
+    out: list[str] = []
+    for chunk in _chunk_boundaries(text):
+        for tok in rx.findall(chunk.lower()):
+            if len(tok) > TOKEN_MAX_CHARS:
+                continue
+            if tok in cfg.stopwords:
+                continue
+            out.append(stem(tok) if cfg.do_stem else tok)
+    return out
+
+
+def tokenize(text: str, config: TokenizerConfig | str = "english") -> dict[str, int]:
+    """text -> {term: tf}. doc_len is ``sum(result.values())``."""
+    return dict(Counter(token_stream(text, config)))
+
+
+def tokenize_query(query: str, config: TokenizerConfig | str = "english") -> dict[str, int]:
+    """Query text -> {term: query_freq}.
+
+    The query-term frequency multiplies that term's score contribution
+    (reference: src/planner/../bmw.c:759-761,1450-1457 and the MS MARCO
+    ground-truth SQL: 'CRITICAL: multiply by query term frequency').
+    """
+    return tokenize(query, config)
+
+
+# ---------------------------------------------------------------------------
+# Spark path (distributed build) — JVM split/explode + optional stem UDF
+# ---------------------------------------------------------------------------
+
+
+def _stem_udf():
+    # deferred: pandas_udf needs an active SparkSession to parse DDL types
+    @pandas_udf("string")
+    def _stem(terms: pd.Series) -> pd.Series:
+        # stem() is lru-cached: cost is bounded by unique terms per batch
+        return terms.map(lambda t: stem(t) if t is not None else None)
+
+    return _stem
+
+
+def raw_tokens_column(text_col: Column, config: TokenizerConfig) -> Column:
+    """array<string> of lowercased raw word tokens — pure JVM expression."""
+    toks = F.split(F.lower(text_col), config.sql_split_pattern)
+    return F.filter(
+        toks, lambda t: (t != F.lit("")) & (F.length(t) <= TOKEN_MAX_CHARS)
+    )
+
+
+def spark_token_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    config: TokenizerConfig | str = "english",
+) -> DataFrame:
+    """docs(id, text) -> tokens(id, term, tf) — the distributed tokenizer.
+
+    Entirely JVM-side (split/explode/filter/groupBy, whole-stage
+    codegen) except the Porter2 stem, which is an Arrow-batched pandas
+    UDF over the exploded term column. groupBy(id, term) does the tf
+    aggregation map-side (partial aggregation) before any shuffle.
+    """
+    cfg = get_config(config) if isinstance(config, str) else config
+    toks = df.select(
+        F.col(id_col),
+        F.explode(raw_tokens_column(F.col(text_col), cfg)).alias("term"),
+    )
+    if cfg.stopwords:
+        stop_df = toks.sparkSession.createDataFrame(
+            [(w,) for w in sorted(cfg.stopwords)], "term string"
+        )
+        toks = toks.join(F.broadcast(stop_df), "term", "left_anti")
+    if cfg.do_stem:
+        toks = toks.withColumn("term", _stem_udf()("term"))
+    return toks.groupBy(id_col, "term").agg(F.count("*").cast("int").alias("tf"))
+
+
+def spark_doclen(tokens: DataFrame, id_col: str) -> DataFrame:
+    """tokens(id, term, tf) -> (id, doc_len) with doc_len = sum(tf)."""
+    return tokens.groupBy(id_col).agg(F.sum("tf").cast("long").alias("doc_len"))
+
+
+# bm25vector-shaped output for API parity with the reference's
+# tokenize-to-vector path (reference: src/types/vector.h:7-54)
+_VECTOR_SCHEMA = "array<struct<term:string,tf:int>>"
+
+
+def tokenize_vector_udf(config_name: str = "english"):
+    """pandas UDF: text -> array<struct<term,tf>> (a 'bm25vector').
+
+    Used for the memtable-style incremental path and per-row scoring
+    operator, where one column must carry the whole tokenized doc.
+    """
+    cfg = get_config(config_name)
+
+    @pandas_udf(_VECTOR_SCHEMA)
+    def _tok(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            counts = tokenize(t, cfg)
+            return [{"term": k, "tf": v} for k, v in sorted(counts.items())]
+
+        return texts.map(one)
+
+    return _tok

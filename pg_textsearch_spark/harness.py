@@ -1,0 +1,220 @@
+"""Driver-harness queries + matching DuckDB oracle SQL.
+
+Each operator exposed in ``__spark_entry__.queries()`` lives here as a
+(spark_fn, oracle_sql) pair. The Spark side runs the *real engine*
+(build the inverted index on disk, query through the postings tables);
+the oracle recomputes the same answer index-free in pure SQL over the
+raw ``documents`` table — the reference's own validation strategy
+(reference: test/sql/validation.sql:186-205, an index-free pure-SQL
+BM25 used as ground truth).
+
+Gated queries use the ``ascii`` config (exactly expressible in ANSI
+SQL); ``english``-config semantics (stemming/stopwords) are covered by
+the pytest suite instead, since Porter2 is not SQL-expressible.
+
+Score columns are rounded to 4 decimals on both sides: per-term f64
+math is bit-identical across engines; only multi-term summation order
+can differ (last-ulp), which 4dp absorbs — matching the reference's
+own 1e-3 acceptance tolerance (reference:
+benchmarks/datasets/msmarco/validate_queries.sql:10-29).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.functions.bm25 import DEFAULT_B, DEFAULT_K1
+from pg_textsearch_spark.functions.fieldnorm import fieldnorm_case_sql
+from pg_textsearch_spark.functions.tokenizer import tokenize_query
+from pg_textsearch_spark.index.builder import build_index
+from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+from pg_textsearch_spark.shipping import ensure_shipped
+
+CONFIG = "ascii"  # SQL-expressible tokenizer for the oracle gate
+N_BUCKETS = 8
+_INDEX_CACHE_ROOT = os.environ.get("PGTS_INDEX_CACHE", "/tmp/pgts_index_cache")
+_build_lock = threading.Lock()
+
+# Fixed query set (terms exist in the synthetic vocabulary; includes a
+# repeated-term query to pin the query_freq multiplier)
+QUERY_SINGLE = "window"
+QUERY_MULTI = "spark query table"
+QUERY_REPEAT = "join join merge"
+TERMS_DF = ["join", "window", "stream", "nosuchterm"]
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def ensure_index(spark: SparkSession, sf_dir: str) -> BM25Index:
+    """Build (once per sf_dir) the on-disk index over ``documents``."""
+    ensure_shipped(spark)  # workers need the package for pandas UDFs
+    tag = hashlib.sha1(f"{sf_dir}:{CONFIG}:{N_BUCKETS}:v1".encode()).hexdigest()[:12]
+    idx_dir = os.path.join(_INDEX_CACHE_ROOT, tag)
+    with _build_lock:
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            build_index(
+                spark,
+                documents(spark, sf_dir),
+                idx_dir,
+                doc_id_col="doc_id",
+                text_col="text",
+                config=CONFIG,
+                n_buckets=N_BUCKETS,
+                lineage={"input": sf_dir, "table": "documents"},
+            )
+    return BM25Index(spark, idx_dir)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generation
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)
+  WHERE t.tok <> '' AND length(t.tok) <= 2047
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM tf GROUP BY 1),
+corpus AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         (sum(doc_len)::DOUBLE / count(*)) AS avgdl
+  FROM dl
+)
+"""
+
+
+def _values_clause(weights: dict[str, int]) -> str:
+    rows = ", ".join(f"('{t}', {qf})" for t, qf in sorted(weights.items()))
+    return f"(VALUES {rows}) AS q(term, query_freq)"
+
+
+def bm25_topk_oracle_sql(query: str, k: int = 10) -> str:
+    qtf = tokenize_query(query, CONFIG)
+    assert qtf, "empty query"
+    dlq = fieldnorm_case_sql("dl.doc_len")
+    k1, b = DEFAULT_K1, DEFAULT_B
+    return f"""
+WITH {_TOK_CTE},
+qterms AS (SELECT * FROM {_values_clause(qtf)}),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * {k1 + 1.0}
+           / (tf.tf + {k1} * ({1.0 - b} + {b} * ({dlq}) / c.avgdl))
+           * q.query_freq
+         ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+)
+SELECT
+  row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank,
+  doc_id,
+  round(score, 4) AS score
+FROM scored
+ORDER BY rank
+LIMIT {k}
+"""
+
+
+def corpus_stats_oracle_sql() -> str:
+    return f"WITH {_TOK_CTE} SELECT n_docs, (SELECT sum(doc_len) FROM dl)::BIGINT AS total_tokens, round(avgdl, 6) AS avgdl FROM corpus"
+
+
+def term_df_oracle_sql(terms: list[str]) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOK_CTE}
+SELECT term, count(*)::BIGINT AS df
+FROM tf WHERE term IN ({in_list})
+GROUP BY term ORDER BY term
+"""
+
+
+def doclen_oracle_sql() -> str:
+    dlq = fieldnorm_case_sql("doc_len")
+    return f"""
+WITH {_TOK_CTE}
+SELECT doc_id, doc_len, ({dlq})::BIGINT AS dl_quantized
+FROM dl ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries (run the real engine)
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_topk(query: str, k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = ensure_index(spark, sf_dir)
+        res = topk_exhaustive(idx, query, k=k)
+        return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+    return run
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_index(spark, sf_dir)
+    # round via Spark's HALF_UP (matches DuckDB), not Python's HALF_EVEN
+    return spark.createDataFrame(
+        [(idx.num_docs, idx.total_tokens, idx.avgdl)],
+        "n_docs bigint, total_tokens bigint, avgdl double",
+    ).select("n_docs", "total_tokens", F.round("avgdl", 6).alias("avgdl"))
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_index(spark, sf_dir)
+    dfs = idx.term_dfs(TERMS_DF)
+    rows = [(t, d) for t, d in sorted(dfs.items())]
+    return spark.createDataFrame(rows, "term string, df bigint")
+
+
+def q_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.topk import _fieldnorm_decode_expr
+
+    idx = ensure_index(spark, sf_dir)
+    return idx.doclen().select(
+        "doc_id",
+        "doc_len",
+        _fieldnorm_decode_expr(F.col("fieldnorm")).cast("bigint").alias("dl_quantized"),
+    ).orderBy("doc_id")
+
+
+def harness_queries() -> dict:
+    return {
+        "bm25_topk_multi": q_bm25_topk(QUERY_MULTI),
+        "bm25_topk_single": q_bm25_topk(QUERY_SINGLE),
+        "bm25_topk_repeat": q_bm25_topk(QUERY_REPEAT),
+        "bm25_corpus_stats": q_corpus_stats,
+        "bm25_term_df": q_term_df,
+        "bm25_doclen_fieldnorm": q_doclen,
+    }
+
+
+def harness_oracle_sql() -> dict:
+    return {
+        "bm25_topk_multi": bm25_topk_oracle_sql(QUERY_MULTI),
+        "bm25_topk_single": bm25_topk_oracle_sql(QUERY_SINGLE),
+        "bm25_topk_repeat": bm25_topk_oracle_sql(QUERY_REPEAT),
+        "bm25_corpus_stats": corpus_stats_oracle_sql(),
+        "bm25_term_df": term_df_oracle_sql(TERMS_DF),
+        "bm25_doclen_fieldnorm": doclen_oracle_sql(),
+    }

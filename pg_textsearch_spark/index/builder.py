@@ -1,0 +1,269 @@
+"""Distributed inverted-index build — the reference's CREATE INDEX path.
+
+Maps pg_textsearch's parallel build (workers tokenize disjoint heap
+block ranges, leader N-way merges sorted terms; reference:
+src/access/build_parallel.c:476-914) onto Spark's native model: the
+"workers" are input partitions, the "leader merge" IS the
+term-partitioned shuffle, and segments are partitioned Parquet
+directories (Iceberg tables in production — same logical schema).
+
+Logical schema (SURVEY.md §1.5):
+- ``postings(term, run, df_run, num_blocks, blocks[])`` bucketed by
+  ``crc32(term) % n_buckets`` for query-time file pruning (the role of
+  the segment dictionary's binary search, reference:
+  src/segment/scan.c:579-688);
+- ``doclen(doc_id, doc_key, doc_len, fieldnorm)`` (fieldnorm table +
+  ctid map, reference: src/segment/docmap.c:42-212);
+- manifest.json: corpus stats + segment lineage (the metapage,
+  reference: src/index/metapage.h:30-106).
+
+Skew handling (explicit per north_rule): posting lists are built per
+``(term, run)`` where ``run = doc_id >> RUN_SHIFT``. A head term's
+postings therefore shard into many independent groups — no single
+reducer ever owns a stopword-adjacent term's full posting list. Runs
+hold disjoint, ordered doc_id ranges, so a term's posting list is the
+ordered concatenation of its runs (the reference's disjoint-source
+merge fast path, reference: src/segment/merge.c:748-769), and
+query-time scoring treats runs independently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pg_textsearch_spark.functions import bm25
+from pg_textsearch_spark.functions.fieldnorm import encode_fieldnorm
+from pg_textsearch_spark.functions.tokenizer import (
+    get_config,
+    spark_token_table,
+)
+from pg_textsearch_spark.index.blocks import BLOCKS_SCHEMA, build_blocks
+
+#: docs per run: 2^20. Caps any (term, run) posting group at ~1M entries
+#: regardless of term skew — the salting knob from SURVEY.md §4.
+RUN_SHIFT = 20
+
+DEFAULT_N_BUCKETS = 16
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side bucket of a term; must equal the Spark-side expr."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def term_bucket_expr(term_col, n_buckets: int):
+    """JVM-side bucket expr — F.crc32 == zlib.crc32 on utf-8 bytes."""
+    return F.pmod(F.crc32(term_col.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def _fieldnorm_udf():
+    @pandas_udf("int")
+    def _enc(doc_len: pd.Series) -> pd.Series:
+        return pd.Series(
+            encode_fieldnorm(doc_len.to_numpy(dtype=np.int64)).astype(np.int32)
+        )
+
+    return _enc
+
+
+def _blocks_udf():
+    @pandas_udf(BLOCKS_SCHEMA)
+    def _blk(plists: pd.Series) -> pd.Series:
+        """list<struct<doc_id,tf,fieldnorm>> -> blocks (one term-run)."""
+
+        def one(plist):
+            arr = np.asarray(
+                [(p["doc_id"], p["tf"], p["fieldnorm"]) for p in plist],
+                dtype=np.int64,
+            )
+            return build_blocks(arr[:, 0], arr[:, 1], arr[:, 2])
+
+        return plists.map(one)
+
+    return _blk
+
+
+def assign_doc_ids(df: DataFrame, key_col: str, out_col: str = "doc_id") -> DataFrame:
+    """Dense global doc_ids 0..n-1 in ``key_col`` order, scalably.
+
+    Plays the reference's docmap role: doc_id order == global key order
+    (CTID order there, url order here; reference: docmap.c:172-181
+    "CTID order = doc_id order"). Implementation avoids the
+    single-partition global window: range-repartition by key, count per
+    partition (tiny collect), then broadcast-join partition offsets and
+    number rows within partitions only.
+    """
+    spark = df.sparkSession
+    n_parts = max(df.rdd.getNumPartitions(), 1)
+    ranged = df.repartitionByRange(n_parts, F.col(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = {r["_pid"]: r["cnt"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy(key_col)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.row_number().over(w) + F.col("_offset") - 1)
+        .drop("_pid", "_offset")
+    )
+
+
+def build_segment_dataframes(
+    docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    config: str = "english",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """docs(doc_id, text) -> (postings_df, doclen_df) for one segment.
+
+    The whole pipeline is declarative: Catalyst fuses tokenize+tf into
+    one shuffle, doc_len reuses the token table, and the posting-list
+    "merge" of the reference's leader loop is simply the groupBy(term,
+    run) shuffle (reference: build_parallel.c:640-838 disappears here).
+    """
+    tokens = spark_token_table(docs, doc_id_col, text_col, config)
+    tokens = tokens.withColumnRenamed(doc_id_col, "doc_id")
+
+    doclen = tokens.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
+    doclen = doclen.withColumn("fieldnorm", _fieldnorm_udf()("doc_len"))
+
+    postings_flat = tokens.join(doclen.select("doc_id", "fieldnorm"), "doc_id")
+    postings = (
+        postings_flat.withColumn("run", F.shiftright("doc_id", RUN_SHIFT))
+        .groupBy("term", "run")
+        .agg(
+            F.count("*").cast("long").alias("df_run"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "fieldnorm"))
+            ).alias("plist"),
+        )
+        .select(
+            "term",
+            term_bucket_expr(F.col("term"), n_buckets).alias("bucket"),
+            "run",
+            "df_run",
+            _blocks_udf()("plist").alias("blocks"),
+        )
+    )
+    return postings, doclen
+
+
+class IndexWriter:
+    """Writes segments + maintains the manifest (the 'metapage')."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest_path = os.path.join(index_dir, "manifest.json")
+
+    def read_manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        # atomic rename == the reference's WAL'd metapage update
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.manifest_path)
+
+    def write_segment(
+        self,
+        postings: DataFrame,
+        doclen: DataFrame,
+        seg_id: int,
+        config: str,
+        n_buckets: int,
+        k1: float = bm25.DEFAULT_K1,
+        b: float = bm25.DEFAULT_B,
+        lineage: dict | None = None,
+    ) -> dict:
+        base = self.index_dir
+        postings.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(base, "postings", f"seg={seg_id}")
+        )
+        doclen.write.mode("overwrite").parquet(
+            os.path.join(base, "doclen", f"seg={seg_id}")
+        )
+        spark = postings.sparkSession
+        stats = spark.read.parquet(os.path.join(base, "doclen", f"seg={seg_id}")).agg(
+            F.count("*").alias("num_docs"),
+            F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
+        ).collect()[0]
+
+        manifest = self.read_manifest()
+        if not manifest:
+            manifest = {
+                "format_version": 1,
+                "config": config,
+                "k1": k1,
+                "b": b,
+                "n_buckets": n_buckets,
+                "segments": [],
+            }
+        assert manifest["config"] == config and manifest["n_buckets"] == n_buckets
+        manifest["segments"] = [
+            s for s in manifest["segments"] if s["seg_id"] != seg_id
+        ]
+        manifest["segments"].append(
+            {
+                "seg_id": seg_id,
+                "num_docs": int(stats["num_docs"]),
+                "total_tokens": int(stats["total_tokens"]),
+                "created_at_unix": int(time.time()),
+                "lineage": lineage or {},
+            }
+        )
+        manifest["segments"].sort(key=lambda s: s["seg_id"])
+        self._commit_manifest(manifest)
+        return manifest
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    key_col: str | None = None,
+    config: str = "english",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    k1: float = bm25.DEFAULT_K1,
+    b: float = bm25.DEFAULT_B,
+    lineage: dict | None = None,
+) -> dict:
+    """One-shot bulk build (reference: tp_build, build.c:1262-1600).
+
+    If ``key_col`` is given (e.g. ``url`` for pages tables), dense
+    doc_ids are assigned in key order first; otherwise ``doc_id_col``
+    must already hold unique integer ids (their numeric order is the
+    tie-break order).
+    """
+    if key_col is not None:
+        docs = assign_doc_ids(docs, key_col)
+        doc_id_col = "doc_id"
+    postings, doclen = build_segment_dataframes(
+        docs, doc_id_col, text_col, config, n_buckets
+    )
+    writer = IndexWriter(index_dir)
+    return writer.write_segment(
+        postings, doclen, seg_id=0, config=config, n_buckets=n_buckets,
+        k1=k1, b=b, lineage=lineage,
+    )

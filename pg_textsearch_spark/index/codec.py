@@ -1,0 +1,89 @@
+"""Posting-block codec: delta-gap + bit-packing, numpy-vectorized.
+
+Reference semantics (src/segment/compression.c:199-343): within one
+posting block (<= 128 docs) doc_ids are delta-encoded — the first
+value is the absolute doc_id, subsequent values are gaps — then
+bit-packed at width ceil(log2(max_value+1)); term frequencies are
+bit-packed the same way (freq width <= 16 enforced,
+compression.c:309); fieldnorm bytes are appended raw. A 2-byte header
+carries the two bit widths. Maximum compressed block is 898 bytes
+(compression.h:21-43) — asserted in tests.
+
+The reference decodes branchlessly with SIMD; our decode is numpy
+(unpackbits + dot), which is the Arrow-era equivalent: one vectorized
+kernel per block batch, no per-element Python.
+
+Layout (ours): ``[doc_id_bits:u8][freq_bits:u8][n:u8]``
+``[packed deltas][packed tfs][raw fieldnorms]`` — we add an explicit
+count byte (the reference keeps doc_count in the skip entry; we keep
+it in both so a payload is self-describing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128  # TP_BLOCK_SIZE, "matches Tantivy" (reference: format.h:208)
+MAX_COMPRESSED_BLOCK = 898  # reference: compression.h:32
+
+
+def _width(max_val: int) -> int:
+    """ceil(log2(max_val+1)), minimum 1 bit."""
+    return max(1, int(max_val).bit_length())
+
+
+def _pack_bits(values: np.ndarray, width: int) -> bytes:
+    """Bit-pack uint64 values at ``width`` bits each, little-endian bit order."""
+    v = values.astype(np.uint64, copy=False)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: memoryview, n: int, width: int) -> np.ndarray:
+    """Inverse of _pack_bits: n values of ``width`` bits -> uint64 array."""
+    nbytes = (n * width + 7) // 8
+    raw = np.frombuffer(buf[:nbytes], dtype=np.uint8)
+    bits = np.unpackbits(raw, bitorder="little")[: n * width].reshape(n, width)
+    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
+    return bits.astype(np.uint64) @ weights
+
+
+def compress_block(
+    doc_ids: np.ndarray, tfs: np.ndarray, fieldnorms: np.ndarray
+) -> bytes:
+    """Compress one posting block (strictly increasing doc_ids)."""
+    n = len(doc_ids)
+    assert 0 < n <= BLOCK_SIZE, n
+    ids = np.asarray(doc_ids, dtype=np.uint64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = ids[0]  # first delta = absolute doc_id
+    deltas[1:] = ids[1:] - ids[:-1]
+    tf = np.asarray(tfs, dtype=np.uint64)
+    id_bits = _width(int(deltas.max()))
+    tf_bits = _width(int(tf.max()))
+    assert tf_bits <= 16, "tf exceeds uint16 (reference: compression.c:309)"
+    header = bytes([id_bits, tf_bits, n - 1])  # n-1 so 128 fits a byte
+    return (
+        header
+        + _pack_bits(deltas, id_bits)
+        + _pack_bits(tf, tf_bits)
+        + np.asarray(fieldnorms, dtype=np.uint8).tobytes()
+    )
+
+
+def decompress_block(payload: bytes):
+    """-> (doc_ids uint64, tfs uint32, fieldnorms uint8)."""
+    buf = memoryview(payload)
+    id_bits, tf_bits, n_minus_1 = buf[0], buf[1], buf[2]
+    n = n_minus_1 + 1
+    off = 3
+    id_nbytes = (n * id_bits + 7) // 8
+    deltas = _unpack_bits(buf[off:], n, id_bits)
+    off += id_nbytes
+    tf_nbytes = (n * tf_bits + 7) // 8
+    tfs = _unpack_bits(buf[off:], n, tf_bits).astype(np.uint32)
+    off += tf_nbytes
+    fieldnorms = np.frombuffer(buf[off : off + n], dtype=np.uint8).copy()
+    doc_ids = np.cumsum(deltas, dtype=np.uint64)
+    return doc_ids, tfs, fieldnorms

@@ -1,0 +1,203 @@
+"""Top-k BM25 retrieval over the materialized index.
+
+Two scoring paths with identical semantics (the reference's own
+invariant — BMW is a pure optimization over exhaustive scoring,
+reference: test/sql/validation.sql:186-205):
+
+- ``topk_exhaustive``: decode pruned postings, score every posting
+  with float64 JVM column expressions, groupBy(doc_id).sum, global
+  top-k. This is operator Q10 — the semantic ground truth, and the
+  path the DuckDB oracle gate runs against.
+- ``topk_bmw`` (operators/bmw.py): float32 Block-Max-WAND inside an
+  Arrow UDF per (bucket, run) — skips posting blocks whose upper
+  bound cannot beat the running threshold (reference: bmw.c).
+
+Query lifecycle (SURVEY.md §3.1 Spark equivalent): tokenize the query
+driver-side -> look up df per term over pruned postings (one tiny
+aggregate) -> compute IDF driver-side -> broadcast (term, idf,
+query_freq) -> scan postings with bucket+term pushdown (partition
+pruning plays the dictionary binary search's role) -> score -> ORDER
+BY score DESC, doc_id ASC LIMIT k (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from pg_textsearch_spark.functions import bm25
+from pg_textsearch_spark.functions.fieldnorm import FIELDNORM_DECODE_TABLE
+from pg_textsearch_spark.functions.tokenizer import tokenize_query
+from pg_textsearch_spark.index.builder import term_bucket
+from pg_textsearch_spark.index.codec import decompress_block
+
+
+class BM25Index:
+    """Handle over an on-disk index (manifest + postings + doclen)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.config: str = self.manifest["config"]
+        self.k1: float = self.manifest["k1"]
+        self.b: float = self.manifest["b"]
+        self.n_buckets: int = self.manifest["n_buckets"]
+
+    # -- corpus stats (the metapage read; reference: bm25.c:155-191) ----
+    @property
+    def num_docs(self) -> int:
+        return sum(s["num_docs"] for s in self.manifest["segments"])
+
+    @property
+    def total_tokens(self) -> int:
+        return sum(s["total_tokens"] for s in self.manifest["segments"])
+
+    @property
+    def avgdl(self) -> float:
+        n = self.num_docs
+        return (self.total_tokens / n) if n else 0.0
+
+    def postings(self) -> DataFrame:
+        # basePath keeps seg/bucket partition columns visible
+        root = os.path.join(self.index_dir, "postings")
+        return self.spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, f"seg={s['seg_id']}") for s in self.manifest["segments"]]
+        )
+
+    def doclen(self) -> DataFrame:
+        root = os.path.join(self.index_dir, "doclen")
+        return self.spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, f"seg={s['seg_id']}") for s in self.manifest["segments"]]
+        )
+
+    def pruned_postings(self, terms: list[str]) -> DataFrame:
+        """Postings scan restricted to the query terms.
+
+        The bucket IN (...) predicate prunes partition directories
+        (file-level skip, the dictionary-lookup analog); term IN (...)
+        is pushed to the Parquet row-group scan.
+        """
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        return (
+            self.postings()
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(list(terms)))
+        )
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Unified doc_freq per term across segments and runs
+        (reference: bm25.c:46-111)."""
+        rows = (
+            self.pruned_postings(terms)
+            .groupBy("term")
+            .agg(F.sum("df_run").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def query_weights(self, query: str) -> dict[str, tuple[float, int]]:
+        """query text -> {term: (idf, query_freq)} — float64 IDF."""
+        qtf = tokenize_query(query, self.config)
+        if not qtf:
+            return {}
+        dfs = self.term_dfs(list(qtf))
+        n = self.num_docs
+        out = {}
+        for term, qf in qtf.items():
+            df = dfs.get(term, 0)
+            if df == 0:
+                continue  # absent terms contribute nothing
+            idf = math.log1p((n - df + 0.5) / (df + 0.5))
+            out[term] = (idf, qf)
+        return out
+
+
+_POSTING_SCHEMA = "array<struct<doc_id:bigint,tf:int,fieldnorm:int>>"
+
+
+def _decode_blocks_udf():
+    @pandas_udf(_POSTING_SCHEMA)
+    def _dec(blocks: pd.Series) -> pd.Series:
+        """Decode posting blocks back to flat postings (Arrow batch)."""
+
+        def one(blist):
+            out = []
+            for b in blist:
+                ids, tfs, fns = decompress_block(bytes(b["payload"]))
+                out.extend(
+                    {"doc_id": int(i), "tf": int(t), "fieldnorm": int(f)}
+                    for i, t, f in zip(ids.tolist(), tfs.tolist(), fns.tolist())
+                )
+            return out
+
+        return blocks.map(one)
+
+    return _dec
+
+
+def _fieldnorm_decode_expr(col):
+    """fieldnorm byte -> quantized dl as a JVM array-literal lookup."""
+    table = F.array(*[F.lit(int(v)) for v in FIELDNORM_DECODE_TABLE])
+    return F.element_at(table, col + 1).cast("double")
+
+
+def topk_exhaustive(
+    index: BM25Index, query: str, k: int = 10, with_text: DataFrame | None = None
+) -> DataFrame:
+    """Exhaustive score-all-matching-docs top-k (operator Q10).
+
+    Emits (rank, doc_id, score) ordered by (score DESC, doc_id ASC) —
+    the reference's deterministic tie-break (reference: bmw.c:301-319).
+    All scoring arithmetic is float64 column math so the DuckDB oracle
+    reproduces it bit-for-bit modulo summation order.
+    """
+    spark = index.spark
+    weights = index.query_weights(query)
+    if not weights:
+        return spark.createDataFrame(
+            [], "rank int, doc_id bigint, score double"
+        )
+    wdf = spark.createDataFrame(
+        [(t, float(idf), int(qf)) for t, (idf, qf) in weights.items()],
+        "term string, idf double, query_freq int",
+    )
+    pruned = index.pruned_postings(list(weights))
+    flat = pruned.select(
+        "term", F.explode(_decode_blocks_udf()("blocks")).alias("p")
+    ).select("term", "p.doc_id", "p.tf", "p.fieldnorm")
+
+    avgdl = F.lit(float(index.avgdl))
+    scored = flat.join(F.broadcast(wdf), "term").select(
+        "doc_id",
+        bm25.bm25_score_expr(
+            tf=F.col("tf").cast("double"),
+            dl=_fieldnorm_decode_expr(F.col("fieldnorm")),
+            idf=F.col("idf"),
+            avgdl=avgdl,
+            query_freq=F.col("query_freq").cast("double"),
+            k1=index.k1,
+            b=index.b,
+        ).alias("term_score"),
+    )
+    doc_scores = scored.groupBy("doc_id").agg(F.sum("term_score").alias("score"))
+    topk = doc_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # k rows at most here — the unpartitioned window is a k-row sort
+    ranked = topk.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+        "doc_id",
+        "score",
+    )
+    if with_text is not None:
+        ranked = ranked.join(F.broadcast(with_text), "doc_id", "left")
+    return ranked
