@@ -1,0 +1,289 @@
+"""Block-Max WAND top-k scoring — the performance path.
+
+Reference semantics (src/scoring/../bmw.c, ~1700 LoC C): maintain a
+top-k min-heap whose root is the score threshold; skip any posting
+block whose upper bound (BM25 of block_max_tf with the block's
+*minimum* fieldnorm) cannot beat the threshold; for multi-term
+queries run WAND pivoting — terms ordered by current doc_id, pivot =
+first prefix whose summed max-scores exceed the threshold, seek
+pre-pivot terms forward via the skip index, with a block-max
+refinement check and a forward-progress skip-advance
+(reference: bmw.c:365-396, 573-642, 1164-1344, 1476-1716).
+
+BMW is a pure optimization: results must equal exhaustive scoring
+(reference: test/sql/validation.sql:186-205) — pinned by
+tests/test_bmw.py against topk_exhaustive on block-straddling
+fixtures (FIXTURES.md F4).
+
+Distribution model: the reference walks every segment under one heap
+on one node. Here each ``run`` (a disjoint 2^20-doc range, all query
+terms co-located by the shuffle) runs an independent WAND with a
+local heap inside one Arrow batch; the global ORDER BY score DESC,
+doc_id ASC LIMIT k merges run-local top-ks (TakeOrderedAndProject).
+Scoring arithmetic is float32 like the reference's index scan
+(reference: bmw.c:382-396).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.functions.bm25 import bm25_term_score32
+from pg_textsearch_spark.functions.fieldnorm import FIELDNORM_DECODE_TABLE
+from pg_textsearch_spark.index.codec import decompress_block
+
+
+class _Cursor:
+    """Posting iterator over one (term, run, seg) row's blocks.
+
+    Lazy block decode (reference: segment/scan.c:59-574): a block's
+    payload is only decompressed when the cursor actually lands in it;
+    skipped blocks cost one comparison.
+    """
+
+    __slots__ = (
+        "weight", "k1", "b", "avgdl", "block_last", "block_upper",
+        "payloads", "bi", "ids", "scores", "pos", "max_score", "alive",
+    )
+
+    def __init__(self, blocks, weight, k1, b, avgdl):
+        self.weight = np.float32(weight)  # idf * query_freq
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        if blocks is None or len(blocks) == 0:
+            self.alive = False
+            self.max_score = 0.0
+            self.payloads = []
+            return
+        self.block_last = np.asarray(
+            [blk["last_doc_id"] for blk in blocks], dtype=np.int64
+        )
+        # block upper bound: max tf + shortest doc in block
+        bmt = np.asarray([blk["block_max_tf"] for blk in blocks], dtype=np.int64)
+        bmn = np.asarray([blk["block_max_norm"] for blk in blocks], dtype=np.int64)
+        dl = FIELDNORM_DECODE_TABLE[bmn]
+        self.block_upper = (
+            bm25_term_score32(bmt, dl, np.float32(1.0), avgdl, k1, b) * self.weight
+        )
+        self.payloads = [blk["payload"] for blk in blocks]
+        self.bi = -1
+        self.ids = None
+        self.scores = None
+        self.pos = 0
+        self.max_score = float(self.block_upper.max())
+        self.alive = True
+        self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        if bi >= len(self.payloads):
+            self.alive = False
+            return
+        self.bi = bi
+        ids, tfs, fns = decompress_block(bytes(self.payloads[bi]))
+        self.ids = ids.astype(np.int64)
+        dl = FIELDNORM_DECODE_TABLE[fns.astype(np.int64)]
+        self.scores = (
+            bm25_term_score32(tfs, dl, np.float32(1.0), self.avgdl, self.k1, self.b)
+            * self.weight
+        )
+        self.pos = 0
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self.ids[self.pos]) if self.alive else 1 << 62
+
+    def cur_score(self) -> float:
+        return float(self.scores[self.pos])
+
+    def cur_block_upper(self) -> float:
+        return float(self.block_upper[self.bi])
+
+    def cur_block_last(self) -> int:
+        return int(self.block_last[self.bi])
+
+    def advance(self) -> None:
+        self.pos += 1
+        if self.pos >= len(self.ids):
+            self._load_block(self.bi + 1)
+
+    def seek(self, target: int) -> None:
+        """Advance to the first doc_id >= target (skip-index assisted,
+        reference: bmw.c:853-983)."""
+        if not self.alive or self.cur_doc >= target:
+            return
+        if target > int(self.block_last[self.bi]):
+            nbi = int(np.searchsorted(self.block_last, target, side="left"))
+            if nbi >= len(self.payloads):
+                self.alive = False
+                return
+            self._load_block(nbi)
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= len(self.ids):  # can't happen if block_last correct
+            self._load_block(self.bi + 1)
+
+
+class _TopK:
+    """min-heap of (score, -doc_id): threshold = root when full.
+
+    Tie-break: equal scores -> lower doc_id wins (reference:
+    bmw.c:105-122,301-319) — hence -doc_id in the heap key so the
+    *higher* doc_id is evicted first.
+    """
+
+    def __init__(self, k: int):
+        self.k = k
+        self.heap: list[tuple[float, int]] = []
+
+    def push(self, score: float, doc_id: int) -> None:
+        item = (score, -doc_id)
+        if len(self.heap) < self.k:
+            heapq.heappush(self.heap, item)
+        elif item > self.heap[0]:
+            heapq.heapreplace(self.heap, item)
+
+    @property
+    def threshold(self) -> float:
+        return self.heap[0][0] if len(self.heap) >= self.k else -1.0
+
+    def rows(self):
+        return [(-nd, s) for s, nd in self.heap]
+
+
+def _score_single_term(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+    """Single-term BMW: visit blocks in descending upper-bound order,
+    stop when the best remaining block can't beat the threshold
+    (reference: tp_score_single_term_bmw, bmw.c:469-642)."""
+    topk = _TopK(k)
+    blocks = []
+    for c in cursors:
+        for bi in range(len(c.payloads)):
+            blocks.append((float(c.block_upper[bi]), c, bi))
+    blocks.sort(key=lambda t: -t[0])
+    for upper, c, bi in blocks:
+        if upper < topk.threshold:
+            break  # all remaining blocks are below the threshold
+        ids, tfs, fns = decompress_block(bytes(c.payloads[bi]))
+        dl = FIELDNORM_DECODE_TABLE[fns.astype(np.int64)]
+        scores = (
+            bm25_term_score32(tfs, dl, np.float32(1.0), c.avgdl, c.k1, c.b)
+            * c.weight
+        )
+        # push all (<=128) postings: the heap's (score, -doc_id) order
+        # handles both threshold and the doc_id tie-break
+        for i in range(len(scores)):
+            topk.push(float(scores[i]), int(ids[i]))
+    return topk.rows()
+
+
+def _score_wand(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+    """Multi-term Block-Max WAND (reference: bmw.c:1476-1716)."""
+    topk = _TopK(k)
+    cursors = [c for c in cursors if c.alive]
+    while True:
+        cursors = [c for c in cursors if c.alive]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.cur_doc)
+        # pivot: first prefix whose summed max-scores can beat threshold
+        acc = 0.0
+        pivot_idx = -1
+        threshold = topk.threshold
+        for i, c in enumerate(cursors):
+            acc += c.max_score
+            if acc > threshold:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # no remaining doc can enter the top-k
+        pivot_doc = cursors[pivot_idx].cur_doc
+        # extend pivot prefix over cursors already positioned at pivot_doc
+        while (
+            pivot_idx + 1 < len(cursors)
+            and cursors[pivot_idx + 1].cur_doc == pivot_doc
+        ):
+            pivot_idx += 1
+        prefix = cursors[: pivot_idx + 1]
+        if prefix[0].cur_doc == pivot_doc:
+            # all prefix cursors sit exactly at pivot_doc here.
+            # Block-max refinement (reference: bmw.c:1526-1571, incl.
+            # the #365 fix): the safe-skip bound must cover the whole
+            # skipped range, so non-prefix cursors contribute their
+            # full max_score (they may contain docs inside the range).
+            block_bound = sum(c.cur_block_upper() for c in prefix) + sum(
+                c.max_score for c in cursors[pivot_idx + 1:]
+            )
+            if block_bound <= threshold:
+                # safe skip past the soonest block end among the prefix
+                # (forward progress; reference: bmw.c:1251-1344)
+                next_doc = min(c.cur_block_last() for c in prefix) + 1
+                for c in prefix:
+                    c.seek(next_doc)
+                continue
+            score = 0.0
+            for c in prefix:
+                score += c.cur_score()
+            score = float(np.float32(score))
+            topk.push(score, pivot_doc)
+            for c in prefix:
+                c.advance()
+        else:
+            # seek pre-pivot cursors up to the pivot document
+            for c in prefix:
+                if c.cur_doc < pivot_doc:
+                    c.seek(pivot_doc)
+    return topk.rows()
+
+
+def topk_bmw(index, query: str, k: int = 10) -> DataFrame:
+    """Distributed BMW top-k. Same result contract as topk_exhaustive
+    (rank, doc_id, score) — float32 arithmetic, so scores match
+    exhaustive-float64 within the reference's own 1e-3 tolerance and
+    ranks match under the (score DESC, doc_id ASC) tie-break."""
+    from pyspark.sql import Window
+
+    spark = index.spark
+    weights = index.query_weights(query)
+    if not weights:
+        return spark.createDataFrame([], "rank int, doc_id bigint, score double")
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+    wmap = {t: float(idf) * int(qf) for t, (idf, qf) in weights.items()}
+    single = len(wmap) == 1
+    kk = int(k)
+
+    pruned = index.pruned_postings(list(wmap)).select("term", "run", "blocks")
+
+    def score_run(pdf: pd.DataFrame) -> pd.DataFrame:
+        cursors = [
+            _Cursor(row.blocks, wmap[row.term], k1, b, avgdl)
+            for row in pdf.itertuples()
+        ]
+        cursors = [c for c in cursors if c.alive]
+        if not cursors:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        rows = (
+            _score_single_term(cursors, kk)
+            if single
+            else _score_wand(cursors, kk)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray([r[0] for r in rows], dtype=np.int64),
+                "score": np.asarray([r[1] for r in rows], dtype=np.float64),
+            }
+        )
+
+    per_run = pruned.groupBy("run").applyInPandas(
+        score_run, "doc_id bigint, score double"
+    )
+    topk = per_run.orderBy(F.desc("score"), F.asc("doc_id")).limit(kk)
+    return topk.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+        "doc_id",
+        "score",
+    )

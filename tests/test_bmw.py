@@ -1,0 +1,104 @@
+"""BMW vs exhaustive parity (reference invariant: BMW is a pure
+optimization — test/sql/validation.sql, test/sql/wand.sql)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from pg_textsearch_spark.index.builder import build_index
+from pg_textsearch_spark.operators.bmw import topk_bmw
+from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+
+
+def _build(spark, docs_rows, path, **kw):
+    shutil.rmtree(path, ignore_errors=True)
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    build_index(spark, docs, path, config=kw.pop("config", "ascii"), **kw)
+    return BM25Index(spark, path)
+
+
+def _assert_parity(idx, query, k=10):
+    exh = topk_exhaustive(idx, query, k).collect()
+    bmw = topk_bmw(idx, query, k).collect()
+    assert len(exh) == len(bmw), (len(exh), len(bmw))
+    for e, w in zip(exh, bmw):
+        # reference acceptance: per-rank score within 1e-3 absolute,
+        # tie order free (validate_queries.sql:10-29)
+        assert abs(e["score"] - w["score"]) <= 1e-3, (e, w)
+    # doc sets must agree wherever scores are not tied at the boundary
+    e_scores = [round(r["score"], 3) for r in exh]
+    if len(set(e_scores)) == len(e_scores):
+        assert [r["doc_id"] for r in exh] == [r["doc_id"] for r in bmw]
+
+
+@pytest.fixture(scope="module")
+def wand_fixture_index(spark, tmp_path_factory):
+    # FIXTURES.md F4 (from reference test/sql/wand.sql:17-41): 206 docs
+    # forcing 'beta' to span posting blocks (128-block size); doc 6 is
+    # the only multi-term doc and must rank first — block skipping must
+    # not lose it.
+    rows = (
+        [(i, f"alpha word{i}") for i in range(1, 6)]
+        + [(6, "alpha beta both terms here")]
+        + [(i, f"beta word{i}") for i in range(7, 207)]
+    )
+    path = str(tmp_path_factory.mktemp("wand") / "idx")
+    return _build(spark, rows, path)
+
+
+def test_wand_block_skip_keeps_multi_term_doc(wand_fixture_index):
+    # doc 6 is the only doc matching both terms; block skipping must
+    # not lose it (it scores below the short alpha-only docs because
+    # it is longer — BM25 length normalization)
+    res = topk_bmw(wand_fixture_index, "alpha beta", k=10).collect()
+    assert 6 in {r["doc_id"] for r in res}
+    _assert_parity(wand_fixture_index, "alpha beta", k=10)
+
+
+def test_wand_large_k_low_threshold(wand_fixture_index):
+    # large K keeps the threshold low long — exercises the safe-skip
+    # condition (reference: bmw_skip_advance.sql analogs)
+    _assert_parity(wand_fixture_index, "alpha beta", k=200)
+
+
+def test_single_term_block_skip(wand_fixture_index):
+    _assert_parity(wand_fixture_index, "beta", k=5)
+    _assert_parity(wand_fixture_index, "alpha", k=3)
+
+
+@pytest.fixture(scope="module")
+def zipf_index(spark, tmp_path_factory):
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(80)]
+    rows = []
+    for d in range(400):
+        n = int(rng.integers(3, 60))
+        # zipf-ish draw: low ids much more common
+        ids = np.minimum((rng.zipf(1.3, n) - 1), len(vocab) - 1)
+        rows.append((d, " ".join(vocab[i] for i in ids)))
+    path = str(tmp_path_factory.mktemp("zipf") / "idx")
+    return _build(spark, rows, path)
+
+
+@pytest.mark.parametrize("query,k", [
+    ("w0", 10),
+    ("w0 w3", 10),
+    ("w1 w7 w20", 10),
+    ("w0 w0 w5", 7),       # repeated query term (query_freq multiplier)
+    ("w2 w40 w79", 25),
+    ("w0 w1 w2 w3 w4 w5", 10),
+])
+def test_zipf_parity(zipf_index, query, k):
+    _assert_parity(zipf_index, query, k)
+
+
+def test_testdata_documents_parity(spark, tmp_path_factory):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path_factory.mktemp("docs") / "idx")
+    shutil.rmtree(path, ignore_errors=True)
+    build_index(spark, docs, path, config="ascii", n_buckets=8)
+    idx = BM25Index(spark, path)
+    for q in ["spark query table", "window", "join join merge",
+              "stream batch filter sort"]:
+        _assert_parity(idx, q, k=10)
