@@ -206,6 +206,7 @@ class IndexWriter:
         stats = spark.read.parquet(os.path.join(base, "doclen", f"seg={seg_id}")).agg(
             F.count("*").alias("num_docs"),
             F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
+            F.coalesce(F.max("doc_id"), F.lit(-1)).alias("max_doc_id"),
         ).collect()[0]
 
         manifest = self.read_manifest()
@@ -225,8 +226,10 @@ class IndexWriter:
         manifest["segments"].append(
             {
                 "seg_id": seg_id,
+                "level": 0,
                 "num_docs": int(stats["num_docs"]),
                 "total_tokens": int(stats["total_tokens"]),
+                "max_doc_id": int(stats["max_doc_id"]),
                 "created_at_unix": int(time.time()),
                 "lineage": lineage or {},
             }

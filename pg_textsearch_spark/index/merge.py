@@ -1,0 +1,164 @@
+"""Segment merge / compaction — the LSM maintenance path.
+
+Reference semantics (src/segment/merge.c): when a level accumulates
+``segments_per_level`` segments they are N-way merged into one
+segment at the next level (tp_maybe_compact_level, merge.c:1893-1944);
+``force_merge`` collapses everything into a single segment
+(merge.c:1947-1973). The merge streams sorted dictionaries, remaps
+doc_ids, re-blocks postings, and recomputes stats.
+
+Spark-first translation: the reference's hand-written N-way sorted
+term merge (merge.c:1409-1891) *is* a shuffle — we union the source
+segments' posting tables, decode, regroup by (term, run), and re-block.
+Doc_ids are global and never remapped here (no deletes yet), which is
+exactly the reference's disjoint-source fast path (merge.c:748-769:
+non-overlapping doc ranges concatenate without comparisons) — by
+construction incremental segments own disjoint doc_id ranges.
+
+The LSM policy (8 levels, fan-in 8; reference: src/constants.h:74-76)
+is a driver-side loop over the manifest.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.index.builder import (
+    IndexWriter,
+    _blocks_udf,
+    term_bucket_expr,
+)
+from pg_textsearch_spark.operators.topk import BM25Index, _decode_blocks_udf
+
+MAX_LEVELS = 8  # TP_MAX_LEVELS (reference: constants.h:74)
+SEGMENTS_PER_LEVEL = 8  # default compaction fan-in (reference: mod.c:256-269)
+
+
+def merge_segments(
+    index: BM25Index, seg_ids: list[int], new_seg_id: int
+) -> dict:
+    """N-way merge of segments into one (reference: merge.c:1409-1891).
+
+    Decode -> union -> regroup (term, run) -> re-block. The shuffle
+    performs the reference's sorted-dictionary merge; re-blocking
+    restores the 128-doc block invariant across former segment
+    boundaries within a run.
+    """
+    spark = index.spark
+    base = index.index_dir
+    seg_set = set(seg_ids)
+    segs = [s for s in index.manifest["segments"] if s["seg_id"] in seg_set]
+    assert len(segs) == len(seg_set), (seg_ids, index.manifest["segments"])
+    n_buckets = index.n_buckets
+
+    postings_root = os.path.join(base, "postings")
+    src_postings = spark.read.option("basePath", postings_root).parquet(
+        *[os.path.join(postings_root, f"seg={sid}") for sid in sorted(seg_set)]
+    )
+    flat = src_postings.select(
+        "term", "run", F.explode(_decode_blocks_udf()("blocks")).alias("p")
+    ).select("term", "run", "p.doc_id", "p.tf", "p.fieldnorm")
+
+    merged = (
+        flat.groupBy("term", "run")
+        .agg(
+            F.count("*").cast("long").alias("df_run"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "fieldnorm"))
+            ).alias("plist"),
+        )
+        .select(
+            "term",
+            term_bucket_expr(F.col("term"), n_buckets).alias("bucket"),
+            "run",
+            "df_run",
+            _blocks_udf()("plist").alias("blocks"),
+        )
+    )
+
+    doclen_root = os.path.join(base, "doclen")
+    merged_doclen = spark.read.option("basePath", doclen_root).parquet(
+        *[os.path.join(doclen_root, f"seg={sid}") for sid in sorted(seg_set)]
+    ).drop("seg")
+
+    # write new segment, then drop sources from the manifest atomically
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(postings_root, f"seg={new_seg_id}")
+    )
+    merged_doclen.write.mode("overwrite").parquet(
+        os.path.join(doclen_root, f"seg={new_seg_id}")
+    )
+    stats = spark.read.parquet(os.path.join(doclen_root, f"seg={new_seg_id}")).agg(
+        F.count("*").alias("num_docs"),
+        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
+    ).collect()[0]
+
+    writer = IndexWriter(base)
+    manifest = writer.read_manifest()
+    # invariant check: merged totals == sum of source totals
+    # (reference: merge.c:842-866 — no dead docs yet, so exact sums)
+    src_docs = sum(s["num_docs"] for s in segs)
+    src_tokens = sum(s["total_tokens"] for s in segs)
+    assert int(stats["num_docs"]) == src_docs, (stats, src_docs)
+    assert int(stats["total_tokens"]) == src_tokens, (stats, src_tokens)
+
+    level = max((s.get("level", 0) for s in segs), default=0) + 1
+    manifest["segments"] = [
+        s for s in manifest["segments"] if s["seg_id"] not in seg_set
+    ]
+    manifest["segments"].append(
+        {
+            "seg_id": new_seg_id,
+            "level": min(level, MAX_LEVELS - 1),
+            "num_docs": src_docs,
+            "total_tokens": src_tokens,
+            "max_doc_id": max(s.get("max_doc_id", -1) for s in segs),
+            "created_at_unix": 0,
+            "lineage": {"merged_from": sorted(seg_set)},
+        }
+    )
+    manifest["segments"].sort(key=lambda s: s["seg_id"])
+    writer._commit_manifest(manifest)
+
+    # reclaim source segment files (the tombstone/vacuum analog —
+    # safe after the manifest commit; readers resolve via manifest)
+    for sid in seg_set:
+        shutil.rmtree(os.path.join(postings_root, f"seg={sid}"), ignore_errors=True)
+        shutil.rmtree(os.path.join(doclen_root, f"seg={sid}"), ignore_errors=True)
+    return manifest
+
+
+def force_merge(index: BM25Index) -> dict:
+    """Merge ALL segments into one (reference: tp_force_merge_all,
+    merge.c:1947-1973; Lucene forceMerge(1))."""
+    seg_ids = [s["seg_id"] for s in index.manifest["segments"]]
+    if len(seg_ids) <= 1:
+        return index.manifest
+    new_id = max(seg_ids) + 1
+    return merge_segments(index, seg_ids, new_id)
+
+
+def maybe_compact(index: BM25Index, fan_in: int = SEGMENTS_PER_LEVEL) -> dict:
+    """Leveled compaction policy (reference: tp_maybe_compact_level,
+    merge.c:1893-1944): when a level holds >= fan_in segments, merge
+    the oldest fan_in into one at level+1; recurse upward."""
+    manifest = index.manifest
+    changed = True
+    while changed:
+        changed = False
+        by_level: dict[int, list[dict]] = {}
+        for s in manifest["segments"]:
+            by_level.setdefault(s.get("level", 0), []).append(s)
+        for level in sorted(by_level):
+            segs = sorted(by_level[level], key=lambda s: s["seg_id"])
+            if len(segs) >= fan_in:
+                batch = [s["seg_id"] for s in segs[:fan_in]]
+                new_id = max(x["seg_id"] for x in manifest["segments"]) + 1
+                manifest = merge_segments(index, batch, new_id)
+                index.manifest = manifest
+                changed = True
+                break
+    return manifest

@@ -1,0 +1,119 @@
+"""Build-mode invariance + merge correctness (SURVEY.md §5 plan (e)):
+bulk build == incremental segments == merged segments, exactly —
+the reference's scoring1..6.sql pin the same invariant."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.index.builder import build_index
+from pg_textsearch_spark.index.merge import force_merge, maybe_compact
+from pg_textsearch_spark.operators.bmw import topk_bmw
+from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+from pg_textsearch_spark.streaming.incremental import insert_batch
+
+QUERIES = ["spark query table", "window", "join join merge"]
+
+
+def _results(idx, q, k=10):
+    return [(r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in topk_exhaustive(idx, q, k).collect()]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark, tmp_path_factory):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = tmp_path_factory.mktemp("modes")
+
+    bulk_dir = str(base / "bulk")
+    build_index(spark, docs, bulk_dir, config="ascii", n_buckets=8)
+
+    inc_dir = str(base / "inc")
+    shutil.rmtree(inc_dir, ignore_errors=True)
+    # 4 ordered batches of 125 docs each, no compaction -> 4 segments
+    for lo in range(0, 500, 125):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 125)
+        ).withColumn("key", F.col("doc_id")).drop("doc_id")
+        insert_batch(
+            spark, inc_dir, batch, text_col="text", key_col="key",
+            compact=False, config="ascii", n_buckets=8,
+        )
+        # bootstrap config for the first batch
+        if lo == 0:
+            import json, os
+            with open(f"{inc_dir}/manifest.json") as f:
+                m = json.load(f)
+            assert m["segments"][0]["seg_id"] == 0
+    return spark, bulk_dir, inc_dir
+
+
+def test_incremental_has_four_segments(corpora):
+    spark, _bulk, inc = corpora
+    idx = BM25Index(spark, inc)
+    assert len(idx.manifest["segments"]) == 4
+    assert idx.num_docs == 500
+
+
+def test_corpus_stats_invariant(corpora):
+    spark, bulk, inc = corpora
+    a, b = BM25Index(spark, bulk), BM25Index(spark, inc)
+    assert a.num_docs == b.num_docs
+    assert a.total_tokens == b.total_tokens
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_bulk_vs_incremental_exact(corpora, q):
+    spark, bulk, inc = corpora
+    assert _results(BM25Index(spark, bulk), q) == _results(BM25Index(spark, inc), q)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_force_merge_preserves_results(corpora, q):
+    spark, bulk, inc = corpora
+    idx = BM25Index(spark, inc)
+    before = _results(idx, q)
+    force_merge(idx)
+    merged = BM25Index(spark, inc)
+    assert len(merged.manifest["segments"]) == 1
+    assert _results(merged, q) == before
+    assert _results(merged, q) == _results(BM25Index(spark, bulk), q)
+
+
+def test_bmw_over_multi_segment(spark, tmp_path_factory):
+    # BMW must handle cursors from multiple segments of the same run
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path_factory.mktemp("multiseg") / "idx")
+    for lo in range(0, 500, 250):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 250)
+        ).withColumn("key", F.col("doc_id")).drop("doc_id")
+        insert_batch(spark, d, batch, key_col="key", compact=False, config="ascii", n_buckets=8)
+    idx = BM25Index(spark, d)
+    assert len(idx.manifest["segments"]) == 2
+    for q in QUERIES:
+        exh = topk_exhaustive(idx, q, 10).collect()
+        bmw = topk_bmw(idx, q, 10).collect()
+        for e, w in zip(exh, bmw):
+            assert abs(e["score"] - w["score"]) <= 1e-3
+
+
+def test_leveled_compaction_policy(spark, tmp_path_factory):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path_factory.mktemp("lsm") / "idx")
+    # 4 batches with fan_in=2: expect compaction to kick in
+    for lo in range(0, 500, 125):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 125)
+        ).withColumn("key", F.col("doc_id")).drop("doc_id")
+        insert_batch(spark, d, batch, key_col="key", compact=True, fan_in=2, config="ascii", n_buckets=8)
+    idx = BM25Index(spark, d)
+    assert len(idx.manifest["segments"]) < 4
+    assert idx.num_docs == 500
+    # results identical to a bulk build
+    bulk_dir = str(tmp_path_factory.mktemp("lsm") / "bulk")
+    build_index(spark, docs, bulk_dir, config=idx.config,
+                n_buckets=idx.n_buckets)
+    for q in QUERIES:
+        assert _results(idx, q) == _results(BM25Index(spark, bulk_dir), q)
