@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build throughput + top-k BM25 latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Sections:
+- documents: build the english-config index over
+  $SPARK_GRAFT_SF_DIR/documents.parquet and run the token-bucketed
+  query set (1/2/4/8 tokens, k=10, warm, median of 3) through the BMW
+  path — mirrors the reference's MS MARCO latency buckets
+  (BASELINE.md).
+- scaling: the north rule's two-cluster-size criterion, evidenced by
+  building the same deterministic synthetic pages corpus (
+  sources/pages.py) at local[N] and local[4N]; efficiency =
+  (throughput_4N / throughput_N) / 4.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_PAGES (scaling corpus size, default 100000),
+     SPARK_GRAFT_SKIP_SCALING=1 to skip the two-session scaling run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "100000"))
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+
+QUERY_BUCKETS = {
+    "q_1tok": "window",
+    "q_2tok": "join stream",
+    "q_4tok": "spark query table window",
+    "q_8tok": "join merge sort filter group window batch stream",
+}
+
+
+def _new_session(cores: int, tag: str):
+    from pg_textsearch_spark.session import get_spark
+    from pg_textsearch_spark.shipping import ensure_shipped
+
+    spark = get_spark(
+        app_name=f"bench-{tag}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+    return spark
+
+
+def _prepare_pages(spark, n_docs: int, seed: int = 42) -> str:
+    """Materialize the synthetic pages corpus as parquet (untimed):
+    the engine's input contract is a table, not a generator — build
+    throughput must measure the index build, not synthetic-data rng."""
+    from pg_textsearch_spark.sources.pages import generate_pages
+
+    path = f"/tmp/pgts_pages_{n_docs}_{seed}.parquet"
+    if not os.path.exists(path + "/_SUCCESS"):
+        generate_pages(spark, n_docs, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def _build_pages(spark, pages_path: str, out_dir: str) -> float:
+    from pg_textsearch_spark.index.builder import build_index
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pages = spark.read.parquet(pages_path)
+    t0 = time.time()
+    build_index(
+        spark, pages, out_dir, key_col="url", text_col="text",
+        config="english", n_buckets=32,
+    )
+    return time.time() - t0
+
+
+def _timed_build(spark, n_docs: int, tag: str) -> float:
+    """JIT-warm, then min of 2 timed builds (single-JVM local mode has
+    30s-scale first-build warmup that would swamp the measurement)."""
+    warm_path = _prepare_pages(spark, max(n_docs // 5, 2000), seed=7)
+    pages_path = _prepare_pages(spark, n_docs)
+    _build_pages(spark, warm_path, f"/tmp/pgts_warm_{tag}")
+    shutil.rmtree(f"/tmp/pgts_warm_{tag}", ignore_errors=True)
+    times = []
+    for _ in range(2):
+        times.append(_build_pages(spark, pages_path, f"/tmp/pgts_bench_{tag}"))
+        shutil.rmtree(f"/tmp/pgts_bench_{tag}", ignore_errors=True)
+    return min(times)
+
+
+def main() -> None:
+    results: dict[str, float] = {}
+    extra: dict = {}
+    total = 0.0
+
+    # ---- scaling section (one subprocess per cluster size) ----
+    # Each measurement runs in a fresh process: a second SparkContext
+    # in a reused JVM measures 3-5x slower (observed), poisoning the
+    # comparison. N=4 vs 4N=16: this box reports 32 CPUs but raw
+    # process scaling tops out at ~2.3x from 8->32 (SMT), while 4->16
+    # delivers ~3.2x — measure Spark efficiency where the hardware can
+    # actually scale.
+    if not SKIP_SCALING:
+        import subprocess
+
+        n_big = min(CPUS, 16)
+        n_small = max(1, n_big // 4)
+        extra["scaling_cores"] = {"n": n_small, "4n": n_big}
+        for cores, key in ((n_small, "n"), (n_big, "4n")):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "PGTS_SCALE_CORES": str(cores),
+                     "SPARK_GRAFT_PAGES": str(N_PAGES)},
+                capture_output=True, text=True, timeout=1200,
+            )
+            sec = float(proc.stdout.strip().splitlines()[-1])
+            extra[f"scaling_build_sec_{key}"] = round(sec, 2)
+        thr_n = N_PAGES / extra["scaling_build_sec_n"]
+        thr_4n = N_PAGES / extra["scaling_build_sec_4n"]
+        extra["scaling"] = {
+            "pages_docs": N_PAGES,
+            "cores_n": n_small,
+            "cores_4n": n_big,
+            "docs_per_sec_n": round(thr_n, 1),
+            "docs_per_sec_4n": round(thr_4n, 1),
+            "efficiency": round((thr_4n / thr_n) / (n_big / n_small), 3),
+        }
+        results["build_pages_scaling"] = extra["scaling_build_sec_4n"]
+        total += extra["scaling_build_sec_n"] + extra["scaling_build_sec_4n"]
+
+    # ---- documents section at full parallelism ----
+    spark = _new_session(CPUS, "docs")
+    from pg_textsearch_spark.index.builder import build_index
+    from pg_textsearch_spark.operators.bmw import topk_bmw
+    from pg_textsearch_spark.operators.topk import BM25Index
+
+    # untimed JIT warmup so build_documents measures the engine
+    warm = _prepare_pages(spark, 2000, seed=7)
+    _build_pages(spark, warm, "/tmp/pgts_warm_docs")
+    shutil.rmtree("/tmp/pgts_warm_docs", ignore_errors=True)
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_docs = docs.count()
+    idx_dir = "/tmp/pgts_bench_docs"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, docs, idx_dir, config="english", n_buckets=16)
+    build_sec = time.time() - t0
+    results["build_documents"] = round(build_sec, 3)
+    extra["documents_docs_per_sec"] = round(n_docs / build_sec, 1)
+    total += build_sec
+
+    idx = BM25Index(spark, idx_dir)
+    topk_bmw(idx, "warmup query", 10).collect()  # JIT/UDF warmup
+    for key, q in QUERY_BUCKETS.items():
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            topk_bmw(idx, q, 10).collect()
+            times.append(time.time() - t0)
+        results[key] = round(statistics.median(times), 3)
+        total += results[key]
+    spark.stop()
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+    out = {
+        "metric": "bm25_build_plus_topk_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        **extra,
+    }
+    print(json.dumps(out))
+
+
+def _scale_child(cores: int) -> None:
+    """Subprocess entry: one timed build at the given core count."""
+    spark = _new_session(cores, f"scale-{cores}")
+    sec = _timed_build(spark, N_PAGES, f"scale{cores}")
+    spark.stop()
+    print(sec)
+
+
+if __name__ == "__main__":
+    if os.environ.get("PGTS_SCALE_CORES"):
+        _scale_child(int(os.environ["PGTS_SCALE_CORES"]))
+    else:
+        main()

@@ -198,18 +198,267 @@ def q_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# training-pipeline operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_shipped(spark)
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(documents(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        documents(spark, sf_dir), n=3, threshold=0.1
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    ensure_shipped(spark)
+    pairs = minhash_lsh_pairs(
+        documents(spark, sf_dir), n=3, num_perm=32, bands=8
+    )
+    return pairs.filter(F.col("est_jaccard") >= 0.2).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.dedup import simhash_table
+
+    ensure_shipped(spark)
+    return simhash_table(documents(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        embeddings(spark, sf_dir), threshold=0.35
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.knn import knn_bruteforce
+
+    emb = embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    res = knn_bruteforce(emb, queries, k=10)
+    return res.select(
+        "query_id", "rank", "vec_id", F.round("cos", 6).alias("cos")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.knn import ann_lsh_topk
+
+    emb = embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    res = ann_lsh_topk(emb, queries, k=10, n_bits=16, bands=4)
+    return res.select(
+        "query_id", "rank", "vec_id", F.round("cos", 6).alias("cos")
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.functions import textstats as ts
+
+    t = F.col("text")
+    return documents(spark, sf_dir).select(
+        "doc_id",
+        ts.token_count(t).alias("n_tokens"),
+        ts.quality_score(t).alias("quality"),
+        ts.lang_id(t).alias("lang_pred"),
+        ts.doc_fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def q_score_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.score_expr import score_texts
+
+    res = score_texts(documents(spark, sf_dir), QUERY_MULTI, config=CONFIG)
+    return res.select("doc_id", F.round("score", 4).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL for the training-pipeline operators
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+  FROM toks, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS r(i)
+)
+"""
+
+
+def dedup_exact_oracle_sql() -> str:
+    return (
+        "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "
+        "FROM documents GROUP BY text"
+    )
+
+
+def ngram_jaccard_oracle_sql(threshold: float = 0.1) -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i::DOUBLE / (x.sz + y.sz - i), 6) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+WHERE i::DOUBLE / (x.sz + y.sz - i) >= {threshold}
+"""
+
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform({b}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+)
+
+
+def embedding_neardup_oracle_sql(threshold: float = 0.35) -> str:
+    cos = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 6) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id AND {cos} >= {threshold}
+"""
+
+
+def knn_oracle_sql(k: int = 10, n_queries: int = 5) -> str:
+    cos = _COS_SQL.format(a="e.embedding", b="q.embedding")
+    return f"""
+WITH s AS (
+  SELECT q.vec_id AS query_id, e.vec_id, {cos} AS cos
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id < {n_queries}
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC)::INT AS rank
+  FROM s
+)
+SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+FROM r WHERE rank <= {k}
+"""
+
+
+def text_stats_oracle_sql() -> str:
+    from pg_textsearch_spark.functions import textstats as ts
+
+    return f"""
+SELECT doc_id,
+       {ts.token_count_sql('text')} AS n_tokens,
+       {ts.quality_score_sql('text')} AS quality,
+       {ts.lang_id_sql('text')} AS lang_pred,
+       {ts.doc_fingerprint_sql('text')} AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def score_texts_oracle_sql(query: str) -> str:
+    qtf = tokenize_query(query, CONFIG)
+    dlq = fieldnorm_case_sql("dl.doc_len")
+    k1, b = DEFAULT_K1, DEFAULT_B
+    return f"""
+WITH {_TOK_CTE},
+qterms AS (SELECT * FROM {_values_clause(qtf)}),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+)
+SELECT tf.doc_id,
+       round(sum(
+         ln(1.0 + (c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         * tf.tf * {k1 + 1.0}
+         / (tf.tf + {k1} * ({1.0 - b} + {b} * ({dlq}) / c.avgdl))
+         * q.query_freq
+       ), 4) AS score
+FROM tf
+JOIN qterms q USING (term)
+JOIN dfs USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN corpus c
+GROUP BY tf.doc_id
+ORDER BY tf.doc_id
+"""
+
+
+def q_bmw_topk(query: str, k: int = 10):
+    """BMW path exposed to the driver as a rows-only check (float32
+    kernel: scores match the f64 oracle at 1e-3, pytest-pinned, but
+    not at exact value-hash granularity)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_textsearch_spark.operators.bmw import topk_bmw
+
+        idx = ensure_index(spark, sf_dir)
+        return topk_bmw(idx, query, k=k)
+
+    return run
+
+
 def harness_queries() -> dict:
     return {
         "bm25_topk_multi": q_bm25_topk(QUERY_MULTI),
         "bm25_topk_single": q_bm25_topk(QUERY_SINGLE),
         "bm25_topk_repeat": q_bm25_topk(QUERY_REPEAT),
+        "bm25_topk_bmw": q_bmw_topk(QUERY_MULTI),
         "bm25_corpus_stats": q_corpus_stats,
         "bm25_term_df": q_term_df,
         "bm25_doclen_fieldnorm": q_doclen,
+        "bm25_score_texts": q_score_texts,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_simhash": q_simhash,
+        "dedup_embedding_cosine": q_embedding_neardup,
+        "knn_cosine_topk": q_knn_topk,
+        "knn_ann_lsh": q_ann_lsh,
+        "text_stats": q_text_stats,
     }
 
 
 def harness_oracle_sql() -> dict:
+    # keys absent here (bm25_topk_bmw, dedup_minhash_lsh, dedup_simhash,
+    # knn_ann_lsh) are rows-only checks: float32 kernels / hash-based
+    # approximations that are not ANSI-SQL-expressible; their
+    # correctness is pinned by the pytest suite instead.
     return {
         "bm25_topk_multi": bm25_topk_oracle_sql(QUERY_MULTI),
         "bm25_topk_single": bm25_topk_oracle_sql(QUERY_SINGLE),
@@ -217,4 +466,10 @@ def harness_oracle_sql() -> dict:
         "bm25_corpus_stats": corpus_stats_oracle_sql(),
         "bm25_term_df": term_df_oracle_sql(TERMS_DF),
         "bm25_doclen_fieldnorm": doclen_oracle_sql(),
+        "bm25_score_texts": score_texts_oracle_sql(QUERY_MULTI),
+        "dedup_exact": dedup_exact_oracle_sql(),
+        "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(0.1),
+        "dedup_embedding_cosine": embedding_neardup_oracle_sql(0.35),
+        "knn_cosine_topk": knn_oracle_sql(10, 5),
+        "text_stats": text_stats_oracle_sql(),
     }

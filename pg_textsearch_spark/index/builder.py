@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql.functions import pandas_udf
 
 from pg_textsearch_spark.functions import bm25
@@ -48,9 +49,16 @@ from pg_textsearch_spark.functions.tokenizer import (
 )
 from pg_textsearch_spark.index.blocks import BLOCKS_SCHEMA, build_blocks
 
-#: docs per run: 2^20. Caps any (term, run) posting group at ~1M entries
-#: regardless of term skew — the salting knob from SURVEY.md §4.
-RUN_SHIFT = 20
+#: docs per run: 2^13 = 8192. Caps any (term, run) posting group at 8192
+#: entries (64 blocks) regardless of term skew — the salting knob from
+#: SURVEY.md §4. A stopword-grade term shards into one group per run,
+#: spreading across reducers, while a rare term still occupies a single
+#: group; runs hold disjoint ordered doc ranges so a term's posting
+#: list is the ordered concatenation of its runs (reference merge
+#: disjoint fast path, merge.c:748-769). Measured on 100k synthetic
+#: pages: the posting-build stage went from 1.3x to near-linear scaling
+#: when head terms stopped being single groups.
+RUN_SHIFT = 13
 
 DEFAULT_N_BUCKETS = 16
 
@@ -78,7 +86,12 @@ def _fieldnorm_udf():
 def _blocks_udf():
     @pandas_udf(BLOCKS_SCHEMA)
     def _blk(plists: pd.Series) -> pd.Series:
-        """list<struct<doc_id,tf,fieldnorm>> -> blocks (one term-run)."""
+        """list<struct<doc_id,tf,fieldnorm>> -> blocks (one term-run).
+
+        Used by the merge path; the bulk-build hot path uses the
+        columnar ``_postings_rows`` mapInPandas instead (no per-element
+        dict conversion).
+        """
 
         def one(plist):
             arr = np.asarray(
@@ -92,6 +105,68 @@ def _blocks_udf():
     return _blk
 
 
+_POSTINGS_ROW_SCHEMA = (
+    "term string, run bigint, df_run bigint, blocks " + BLOCKS_SCHEMA
+)
+
+
+def _postings_rows(batches):
+    """mapInPandas kernel: sorted (term, run, doc_id, tf, fieldnorm)
+    stream -> one row per (term, run) with posting blocks.
+
+    Input partitions are hash-partitioned by (term, run) and sorted by
+    (term, run, doc_id), so each group is contiguous; a group may span
+    Arrow batch boundaries, handled by carrying the tail group over.
+    Everything is flat numpy — no per-posting Python objects. This is
+    the reference's posting-serialization loop (segment.c:968-1495)
+    recast as a vectorized streaming kernel.
+    """
+    import pandas as pd  # local import: runs on executors
+
+    carry: pd.DataFrame | None = None
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        runs = pdf["run"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        tfs = pdf["tf"].to_numpy()
+        fns = pdf["fieldnorm"].to_numpy()
+        change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (runs[1:] != runs[:-1])
+        ) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        out_t, out_r, out_df, out_b = [], [], [], []
+        for s, e in zip(starts, ends):
+            out_t.append(terms[s])
+            out_r.append(int(runs[s]))
+            out_df.append(int(e - s))
+            # already sorted by doc_id within the group
+            out_b.append(build_blocks(ids[s:e], tfs[s:e], fns[s:e]))
+        return pd.DataFrame(
+            {"term": out_t, "run": out_r, "df_run": out_df, "blocks": out_b}
+        )
+
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if len(pdf) == 0:
+            continue
+        terms = pdf["term"].to_numpy()
+        runs = pdf["run"].to_numpy()
+        change = np.flatnonzero(
+            (terms[1:] != terms[:-1]) | (runs[1:] != runs[:-1])
+        ) + 1
+        if len(change) == 0:
+            carry = pdf  # whole batch is one (possibly continuing) group
+            continue
+        last_start = int(change[-1])
+        carry = pdf.iloc[last_start:].reset_index(drop=True)
+        yield emit(pdf.iloc[:last_start])
+    if carry is not None and len(carry):
+        yield emit(carry)
+
+
 def assign_doc_ids(df: DataFrame, key_col: str, out_col: str = "doc_id") -> DataFrame:
     """Dense global doc_ids 0..n-1 in ``key_col`` order, scalably.
 
@@ -103,7 +178,11 @@ def assign_doc_ids(df: DataFrame, key_col: str, out_col: str = "doc_id") -> Data
     number rows within partitions only.
     """
     spark = df.sparkSession
-    n_parts = max(df.rdd.getNumPartitions(), 1)
+    # persist the input: repartitionByRange samples the key (one extra
+    # pass) before the real shuffle — without this the upstream plan
+    # (e.g. a generator or a heavy scan) runs twice
+    df = df.persist()
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
     ranged = df.repartitionByRange(n_parts, F.col(key_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -140,26 +219,44 @@ def build_segment_dataframes(
     tokens = spark_token_table(docs, doc_id_col, text_col, config)
     tokens = tokens.withColumnRenamed(doc_id_col, "doc_id")
 
-    doclen = tokens.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("doc_len"))
-    doclen = doclen.withColumn("fieldnorm", _fieldnorm_udf()("doc_len"))
+    # doc_len via a window over the token table: one pass, no join-back
+    # (a join would recompute the whole tokenize+stem pipeline twice)
+    w = Window.partitionBy("doc_id")
+    toklen = tokens.withColumn(
+        "doc_len", F.sum("tf").over(w).cast("long")
+    ).withColumn("fieldnorm", _fieldnorm_udf()("doc_len"))
+    # postings and doclen are written as two separate actions; persist
+    # the token table so tokenize+stem runs once. (At cluster scale the
+    # same role is played by writing the token table to a staging
+    # location — see checkpointing in index/checkpoint.py.)
+    toklen = toklen.persist(StorageLevel.MEMORY_AND_DISK)
 
-    postings_flat = tokens.join(doclen.select("doc_id", "fieldnorm"), "doc_id")
-    postings = (
-        postings_flat.withColumn("run", F.shiftright("doc_id", RUN_SHIFT))
-        .groupBy("term", "run")
+    doclen = (
+        toklen.groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("df_run"),
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "tf", "fieldnorm"))
-            ).alias("plist"),
+            F.first("doc_len").alias("doc_len"),
+            F.first("fieldnorm").alias("fieldnorm"),
         )
-        .select(
-            "term",
-            term_bucket_expr(F.col("term"), n_buckets).alias("bucket"),
-            "run",
-            "df_run",
-            _blocks_udf()("plist").alias("blocks"),
-        )
+    )
+
+    # the term-partitioned shuffle: hash by (term, run) — head terms
+    # shard across reducers by run — then sort within partitions so
+    # each (term, run) group is a contiguous sorted slice, consumed by
+    # the columnar mapInPandas block builder.
+    spark = docs.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    flat = toklen.select(
+        "term",
+        F.shiftright("doc_id", RUN_SHIFT).alias("run"),
+        "doc_id",
+        "tf",
+        "fieldnorm",
+    )
+    postings = (
+        flat.repartition(n_shuffle, "term", "run")
+        .sortWithinPartitions("term", "run", "doc_id")
+        .mapInPandas(_postings_rows, _POSTINGS_ROW_SCHEMA)
+        .withColumn("bucket", term_bucket_expr(F.col("term"), n_buckets))
     )
     return postings, doclen
 

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns.
+
+- ``knn_bruteforce``: exact cosine top-k per query vector. Query
+  vectors are broadcast (k rows), the dot product is a pure JVM
+  ``zip_with``/``aggregate`` fold in float64 (bit-identical to a
+  left-to-right SQL sum — the oracle gate relies on this), and the
+  global top-k per query is a TakeOrderedAndProject.
+- ``ann_lsh_topk``: random-hyperplane LSH buckets as the scale path:
+  probe only vectors sharing >= 1 of `probes` sketch bands with the
+  query, exact-rescore the candidates. Recall vs brute force is
+  pytest-pinned; not SQL-expressible (rows-only driver check).
+
+At 100 TB the brute-force path is the per-bucket verifier inside the
+LSH/IVF partitioner, not a standalone scan — the composition here
+mirrors that: same scoring expression, different candidate generator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.sources.pages import _splitmix64
+
+
+def _cos_expr(va, vb, na, nb):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (na * nb)
+
+
+def _norm_expr(v):
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+def knn_bruteforce(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, rank, vec_id, cos).
+
+    Ties break (cos DESC, vec_id ASC). The corpus scans once per query
+    batch; queries are broadcast.
+    """
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(vec_col).alias("n_v"),
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_vec_col).alias("qv"),
+        _norm_expr(q_vec_col).alias("n_q"),
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        _cos_expr("v", "qv", F.col("n_v"), F.col("n_q")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def _sketch_expr(vec_col, n_bits: int, seed: int, dim: int):
+    """Sign sketch: bit i = sign(dot(v, h_i)) for deterministic
+    pseudo-random hyperplanes h_i (splitmix64-derived +-1 entries)."""
+    planes = []
+    for i in range(n_bits):
+        idx = np.arange(dim, dtype=np.uint64)
+        bits = (
+            _splitmix64(idx ^ np.uint64((seed << 8) | (i + 1))) >> np.uint64(63)
+        ).astype(np.int64)
+        planes.append((bits * 2 - 1).astype(np.float64))  # +-1
+    sketch = F.lit(0).cast("long")
+    for i, h in enumerate(planes):
+        harr = F.array(*[F.lit(float(x)) for x in h])
+        dot = F.aggregate(
+            F.zip_with(vec_col, harr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        sketch = sketch + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sketch
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH banding.
+
+    A candidate is any vector sharing at least one of ``bands`` sketch
+    bands with the query; candidates are exact-rescored. At corpus
+    scale the band join replaces the full scan with bucket-local work.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    width = n_bits // bands
+    mask = (1 << width) - 1
+
+    def banded(df, idc, vc, prefix):
+        s = _sketch_expr(vc, n_bits, seed, dim)
+        d = df.select(
+            F.col(idc).alias(f"{prefix}_id"),
+            F.col(vc).alias(f"{prefix}_v"),
+            s.alias("sk"),
+        )
+        bandcol = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sk"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        )
+        return d.select(f"{prefix}_id", f"{prefix}_v", bandcol.alias("b")).select(
+            f"{prefix}_id", f"{prefix}_v", "b.band", "b.bits"
+        )
+
+    e = banded(emb, id_col, vec_col, "vec")
+    q = banded(queries, q_id_col, q_vec_col, "q")
+    cand = (
+        e.join(F.broadcast(q), ["band", "bits"])
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id"),
+            F.col("vec_v"),
+            F.col("q_v"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _cos_expr("vec_v", "q_v", _norm_expr("vec_v"), _norm_expr("q_v")).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )

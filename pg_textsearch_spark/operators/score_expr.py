@@ -1,0 +1,107 @@
+"""Per-row scoring operator — ``text <@> query`` as a column function.
+
+Reference semantics (bm25_text_bm25query_score,
+src/types/query.c:659-1118): score one (document, query) pair by
+tokenizing the document on the fly, using corpus stats + IDF from the
+index, with the *quantized* doc length. Useful for re-scoring,
+verification, and scoring documents that are not (yet) indexed.
+
+Spark form: a DataFrame transform rather than a scalar function —
+tokenize the doc column (JVM path), broadcast the query's (term, idf,
+query_freq) weights, aggregate per doc. When ``index`` is given, stats
+and dfs come from it (the reference behavior); otherwise they are
+computed from the input corpus itself (self-contained oracle mode).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.functions import bm25
+from pg_textsearch_spark.functions.fieldnorm import FIELDNORM_DECODE_TABLE
+from pg_textsearch_spark.functions.tokenizer import spark_token_table, tokenize_query
+
+
+def _quantize_expr(dl_col):
+    """raw doc_len -> decode(encode(len)) as a JVM array lookup +
+    searchsorted-equivalent (binary CASE is generated SQL-side; here we
+    use the monotone table with element_at over a precomputed bucket)."""
+    # largest table index with value <= dl: computed via aggregate over
+    # the 256 literals would be wasteful; use float log trick? Keep it
+    # simple and exact: a chained when() over the 256 boundaries is
+    # constant-folded by Catalyst into a binary-searchable expression.
+    expr = F.lit(int(FIELDNORM_DECODE_TABLE[0]))
+    for v in [int(x) for x in FIELDNORM_DECODE_TABLE[1:]]:
+        expr = F.when(dl_col >= v, F.lit(v)).otherwise(expr)
+    return expr.cast("double")
+
+
+def score_texts(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    config: str = "ascii",
+    index=None,
+    k1: float = bm25.DEFAULT_K1,
+    b: float = bm25.DEFAULT_B,
+) -> DataFrame:
+    """-> (doc_id, score) for every doc matching >= 1 query term,
+    ordered by doc_id. Float64 column math (the reference's per-row
+    operator is float8 too, query.c:623-656)."""
+    spark = docs.sparkSession
+    qtf = tokenize_query(query, config)
+    if not qtf:
+        return spark.createDataFrame([], f"{id_col} bigint, score double")
+
+    tokens = spark_token_table(docs, id_col, text_col, config)
+    w = Window.partitionBy(id_col)
+    toklen = tokens.withColumn("doc_len", F.sum("tf").over(w).cast("long"))
+
+    if index is not None:
+        n_docs, avgdl = index.num_docs, index.avgdl
+        dfs = index.term_dfs(list(qtf))
+    else:
+        stats = toklen.groupBy(id_col).agg(F.first("doc_len").alias("dl")).agg(
+            F.count("*").alias("n"), F.sum("dl").alias("tt")
+        ).collect()[0]
+        n_docs = int(stats["n"])
+        avgdl = (int(stats["tt"]) / n_docs) if n_docs else 0.0
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in tokens.filter(F.col("term").isin(list(qtf)))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+
+    rows = []
+    for term, qf in qtf.items():
+        df = dfs.get(term, 0)
+        if df == 0:
+            continue
+        rows.append((term, math.log1p((n_docs - df + 0.5) / (df + 0.5)), int(qf)))
+    if not rows:
+        return spark.createDataFrame([], f"{id_col} bigint, score double")
+    wdf = spark.createDataFrame(rows, "term string, idf double, query_freq int")
+
+    scored = toklen.join(F.broadcast(wdf), "term").select(
+        F.col(id_col),
+        bm25.bm25_score_expr(
+            tf=F.col("tf").cast("double"),
+            dl=_quantize_expr(F.col("doc_len")),
+            idf=F.col("idf"),
+            avgdl=F.lit(float(avgdl)),
+            query_freq=F.col("query_freq").cast("double"),
+            k1=k1,
+            b=b,
+        ).alias("term_score"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+        .orderBy(id_col)
+    )

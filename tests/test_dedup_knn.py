@@ -1,0 +1,91 @@
+"""Semantics of the approximate dedup/similarity operators that the
+DuckDB gate can't express: MinHash-LSH recall vs exact Jaccard,
+SimHash Hamming pairs, ANN-LSH recall vs brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    simhash_table,
+)
+from pg_textsearch_spark.operators.knn import ann_lsh_topk, knn_bruteforce
+from pg_textsearch_spark.shipping import ensure_shipped
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    ensure_shipped(spark)
+    rng = np.random.default_rng(3)
+    vocab = [f"v{i}" for i in range(200)]
+    rows = []
+    base_docs = []
+    for d in range(60):
+        words = [vocab[i] for i in rng.integers(0, 200, 40)]
+        base_docs.append(words)
+        rows.append((d, " ".join(words)))
+    # near-duplicates: perturb 2 of 40 words
+    for j, d in enumerate(range(60, 80)):
+        words = list(base_docs[j])
+        words[3] = "zzz"
+        words[17] = "qqq"
+        rows.append((d, " ".join(words)))
+    # exact duplicates
+    rows.append((80, rows[0][1]))
+    rows.append((81, rows[1][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_finds_duplicates(dup_corpus):
+    res = dedup_exact(dup_corpus).collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in res}
+    assert by_id[0] == 2 and by_id[1] == 2  # canonical = min doc_id
+    assert 80 not in by_id and 81 not in by_id
+    assert len(res) == 80
+
+
+def test_minhash_lsh_recall_vs_exact(dup_corpus):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(dup_corpus, threshold=0.6).collect()
+    }
+    assert len(exact) >= 20  # the 20 planted near-dup pairs (+ exact dups)
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(dup_corpus, num_perm=32, bands=8).collect()
+    }
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(lsh))
+
+
+def test_simhash_identical_docs_equal_hash(dup_corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_table(dup_corpus).collect()}
+    assert sh[0] == sh[80] and sh[1] == sh[81]
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(dup_corpus, max_hamming=3).collect()
+    }
+    assert (0, 80, 0) in pairs and (1, 81, 0) in pairs
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    ensure_shipped(spark)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = knn_bruteforce(emb, queries, k=5).collect()
+    ann = ann_lsh_topk(emb, queries, k=5, n_bits=16, bands=8).collect()
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf}
+    ann_set = {(r["query_id"], r["vec_id"]) for r in ann}
+    recall = len(bf_set & ann_set) / len(bf_set)
+    # 8 bands of 2 bits = generous candidate net on random vectors
+    assert recall >= 0.5, recall
+    # rank 1 must be the query itself (cos = 1)
+    for r in ann:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
