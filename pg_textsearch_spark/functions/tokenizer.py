@@ -170,8 +170,12 @@ def _stem_udf():
     # deferred: pandas_udf needs an active SparkSession to parse DDL types
     @pandas_udf("string")
     def _stem(terms: pd.Series) -> pd.Series:
-        # stem() is lru-cached: cost is bounded by unique terms per batch
-        return terms.map(lambda t: stem(t) if t is not None else None)
+        # stem each unique term once, then a C-loop dict map — the hot
+        # build path pushes tens of millions of tokens through here and
+        # per-token Python calls are ~3x slower than unique+map
+        uniq = terms.unique()
+        table = {t: stem(t) for t in uniq if t is not None}
+        return terms.map(table)
 
     return _stem
 

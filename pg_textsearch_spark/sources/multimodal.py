@@ -1,0 +1,162 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+Not in the reference (text-only engine); part of the training-data
+pipeline surface this engine serves at 100 TB. Media travel as
+``binary`` payloads with a typed metadata struct; decode / feature
+extraction / resize / frame sampling are Arrow-batched ``mapInPandas``
+kernels. The image/audio codecs are NOT in this container, so the
+decode step is STUBBED: with PIL/soundfile absent, a clearly-marked
+deterministic fake derives features from payload bytes. The
+Spark-side plumbing — schema, partitioning, UDF signatures, batch
+shapes — is real and tested; dropping in a real decoder changes one
+function.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.sources.pages import _splitmix64, _u01
+
+MEDIA_SCHEMA = (
+    "media_id bigint, url string, kind string, payload binary, "
+    "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+)
+
+FEATURE_DIM = 32
+
+_KINDS = ["image", "image", "image", "audio", "video"]
+
+
+def generate_media(
+    spark: SparkSession, n_rows: int, seed: int = 11, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic synthetic media table (payload = opaque bytes)."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["id"].to_numpy().astype(np.uint64)
+            base = np.uint64(seed * 0x9E3779B1)
+            u = _u01(base ^ ids)
+            kinds = [_KINDS[int(i) % len(_KINDS)] for i in ids]
+            sizes = (64 + (u * 448).astype(np.int64)).tolist()
+            payloads = [
+                _splitmix64(
+                    np.uint64(i) * np.uint64(2654435761)
+                    + np.arange(sz, dtype=np.uint64)
+                ).astype(np.uint64).view(np.uint8).tobytes()[:sz]
+                for i, sz in zip(ids.tolist(), sizes)
+            ]
+            w = (16 + (_u01(base ^ (ids * np.uint64(3))) * 2032)).astype(np.int64)
+            h = (16 + (_u01(base ^ (ids * np.uint64(5))) * 2032)).astype(np.int64)
+            dur = (_u01(base ^ (ids * np.uint64(7))) * 600000).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.astype(np.int64),
+                    "url": [f"s3://corpus/media/{i}" for i in ids.tolist()],
+                    "kind": kinds,
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": f"{k}/bin",
+                            "width": int(wi) if k == "image" else 0,
+                            "height": int(hi) if k == "image" else 0,
+                            "duration_ms": int(d) if k != "image" else 0,
+                        }
+                        for k, wi, hi, d in zip(kinds, w, h, dur)
+                    ],
+                }
+            )
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def _decode_payload(payload: bytes, kind: str) -> np.ndarray:
+    """Decode one media payload to a float array.
+
+    STUB: real decoders (PIL / soundfile / pyav) are unavailable in
+    this container. Gated behind import-try; the fallback is a
+    deterministic fake — splitmix64 over the payload bytes — so every
+    downstream stage (batching, normalization, feature schema) runs
+    for real and reproducibly.
+    """
+    if kind == "image":
+        try:
+            from PIL import Image  # noqa: F401
+
+            raise NotImplementedError(
+                "real image decode not wired: container lacks codecs"
+            )
+        except ImportError:
+            pass
+    raw = np.frombuffer(payload, dtype=np.uint8).astype(np.uint64)
+    n = max(len(raw), 1)
+    idx = np.arange(FEATURE_DIM, dtype=np.uint64)
+    acc = _splitmix64(idx * np.uint64(1099511627776 + n))
+    for off in range(0, len(raw), FEATURE_DIM):
+        chunk = raw[off : off + FEATURE_DIM]
+        acc[: len(chunk)] = _splitmix64(acc[: len(chunk)] ^ chunk)
+    return (acc >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media -> (media_id, kind, features array<float>) via mapInPandas.
+
+    Batch shape contract: one Arrow batch in, one pandas frame out,
+    features L2-normalized float32 — the exact plumbing a real
+    embedding model (ONNX/torch) would use.
+    """
+
+    def run(it):
+        for pdf in it:
+            feats = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                v = _decode_payload(bytes(payload), kind)
+                nrm = np.linalg.norm(v)
+                feats.append((v / nrm if nrm > 0 else v).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id bigint, kind string, features array<float>"
+    )
+
+
+def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Pure-JVM resize planning over image metadata: target dims with
+    aspect preserved. (The pixel work is the stubbed decode step; the
+    planning column logic is the real pipeline shape.)"""
+    w = F.col("meta.width")
+    h = F.col("meta.height")
+    scale = F.least(
+        F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h).cast("double")
+    )
+    return media.filter(F.col("kind") == "image").select(
+        "media_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(w * scale).cast("int").alias("target_w"),
+        F.round(h * scale).cast("int").alias("target_h"),
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """video -> (media_id, frame_ts_ms) rows, one per sampled frame —
+    JVM sequence/explode; the decode of each frame is the stub above."""
+    dur = F.col("meta.duration_ms")
+    ts = F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(every_ms))
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(ts).alias("frame_ts_ms"))
+    )
