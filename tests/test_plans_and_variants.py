@@ -1,0 +1,111 @@
+"""Plan-shape assertions + index variants (text[], partial,
+expression) mirroring reference features (README.md:195-271,
+src/types/array.c)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.index.builder import build_index, term_bucket
+from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+from pg_textsearch_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_partition_filter,
+    assert_pushed_filter,
+    formatted_plan,
+)
+from pg_textsearch_spark.shipping import ensure_shipped
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    ensure_shipped(spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path_factory.mktemp("plans") / "idx")
+    build_index(spark, docs, d, config="ascii", n_buckets=8)
+    return BM25Index(spark, d)
+
+
+def test_postings_scan_prunes_bucket_partitions(idx):
+    pruned = idx.pruned_postings(["window"])
+    b = term_bucket("window", idx.n_buckets)
+    # bucket is a partition column -> directory pruning, term a data
+    # column -> parquet row-group pushdown
+    assert_partition_filter(pruned, "bucket")
+    assert_pushed_filter(pruned, "term")
+    # only the single matching bucket directory is read
+    plan = formatted_plan(pruned)
+    assert f"bucket#" in plan or str(b) in plan
+
+
+def test_topk_broadcasts_query_weights(idx):
+    res = topk_exhaustive(idx, "spark query table", 10)
+    assert_broadcast_join(res)
+
+
+def test_text_array_flatten_invariant(spark, tmp_path):
+    # reference: text[] flattened with single spaces, NULL/empty
+    # elements skipped; scores must equal the concatenated scalar
+    # (src/types/array.c:36-70, test/sql/text_array.sql:27-55)
+    arr_rows = [
+        (1, ["the quick brown fox", None, "jumped over the lazy dog"]),
+        (2, ["goodbye cruel world", ""]),
+        (3, ["hello world"]),
+    ]
+    arr = spark.createDataFrame(arr_rows, "doc_id long, content array<string>")
+    flat = arr.select(
+        "doc_id",
+        F.array_join(
+            F.filter("content", lambda x: x.isNotNull() & (x != F.lit(""))),
+            " ",
+        ).alias("text"),
+    )
+    scalar_rows = [
+        (1, "the quick brown fox jumped over the lazy dog"),
+        (2, "goodbye cruel world"),
+        (3, "hello world"),
+    ]
+    scalar = spark.createDataFrame(scalar_rows, "doc_id long, text string")
+
+    d1, d2 = str(tmp_path / "arr"), str(tmp_path / "scl")
+    build_index(spark, flat, d1, config="ascii", n_buckets=4)
+    build_index(spark, scalar, d2, config="ascii", n_buckets=4)
+    for q in ["world", "quick fox", "hello"]:
+        a = [(r["rank"], r["doc_id"], round(r["score"], 9))
+             for r in topk_exhaustive(BM25Index(spark, d1), q, 5).collect()]
+        b = [(r["rank"], r["doc_id"], round(r["score"], 9))
+             for r in topk_exhaustive(BM25Index(spark, d2), q, 5).collect()]
+        assert a == b
+
+
+def test_partial_index_analog(spark, tmp_path):
+    # partial index == filtered build (reference partial indexes,
+    # README.md:247-271): only 'en' docs are indexed/scored
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    en = docs.filter(F.col("lang") == "en")
+    d = str(tmp_path / "en_idx")
+    build_index(spark, en, d, config="ascii", n_buckets=8)
+    idx = BM25Index(spark, d)
+    assert idx.num_docs == en.count()
+    en_ids = {r["doc_id"] for r in en.select("doc_id").collect()}
+    res = topk_exhaustive(idx, "window table", 10).collect()
+    assert res and all(r["doc_id"] in en_ids for r in res)
+
+
+def test_expression_index_analog(spark, tmp_path):
+    # expression index == computed-column build (reference expression
+    # indexes on (data->>'field')): here extract_text(html)
+    from pg_textsearch_spark.sources.pages import (
+        generate_pages,
+        with_extracted_text,
+    )
+
+    pages = with_extracted_text(generate_pages(spark, 80, seed=5))
+    d = str(tmp_path / "expr_idx")
+    build_index(
+        spark, pages, d, key_col="url", text_col="extracted_text",
+        config="ascii", n_buckets=8,
+    )
+    idx = BM25Index(spark, d)
+    assert idx.num_docs == 80
+    res = topk_exhaustive(idx, "t0 t1", 5).collect()
+    assert len(res) == 5
