@@ -38,7 +38,10 @@ SEGMENTS_PER_LEVEL = 8  # default compaction fan-in (reference: mod.c:256-269)
 
 
 def merge_segments(
-    index: BM25Index, seg_ids: list[int], new_seg_id: int
+    index: BM25Index,
+    seg_ids: list[int],
+    new_seg_id: int,
+    drop_doc_ids=None,
 ) -> dict:
     """N-way merge of segments into one (reference: merge.c:1409-1891).
 
@@ -61,6 +64,10 @@ def merge_segments(
     flat = src_postings.select(
         "term", "run", F.explode(_decode_blocks_udf()("blocks")).alias("p")
     ).select("term", "run", "p.doc_id", "p.tf", "p.fieldnorm")
+    if drop_doc_ids is not None:
+        # dead docs physically dropped during merge (reference:
+        # merge.c old_to_new = UINT32_MAX path, merge.c:658-882)
+        flat = flat.join(F.broadcast(drop_doc_ids), "doc_id", "left_anti")
 
     merged = (
         flat.groupBy("term", "run")
@@ -83,6 +90,10 @@ def merge_segments(
     merged_doclen = spark.read.option("basePath", doclen_root).parquet(
         *[os.path.join(doclen_root, f"seg={sid}") for sid in sorted(seg_set)]
     ).drop("seg")
+    if drop_doc_ids is not None:
+        merged_doclen = merged_doclen.join(
+            F.broadcast(drop_doc_ids), "doc_id", "left_anti"
+        )
 
     # write new segment, then drop sources from the manifest atomically
     merged.write.mode("overwrite").partitionBy("bucket").parquet(
@@ -98,12 +109,17 @@ def merge_segments(
 
     writer = IndexWriter(base)
     manifest = writer.read_manifest()
-    # invariant check: merged totals == sum of source totals
-    # (reference: merge.c:842-866 — no dead docs yet, so exact sums)
     src_docs = sum(s["num_docs"] for s in segs)
     src_tokens = sum(s["total_tokens"] for s in segs)
-    assert int(stats["num_docs"]) == src_docs, (stats, src_docs)
-    assert int(stats["total_tokens"]) == src_tokens, (stats, src_tokens)
+    if drop_doc_ids is None:
+        # invariant: merged totals == sum of source totals
+        # (reference: merge.c:842-866 — no dead docs, exact sums)
+        assert int(stats["num_docs"]) == src_docs, (stats, src_docs)
+        assert int(stats["total_tokens"]) == src_tokens, (stats, src_tokens)
+    else:
+        assert int(stats["num_docs"]) <= src_docs
+    src_docs = int(stats["num_docs"])
+    src_tokens = int(stats["total_tokens"])
 
     level = max((s.get("level", 0) for s in segs), default=0) + 1
     manifest["segments"] = [

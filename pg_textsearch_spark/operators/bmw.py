@@ -153,7 +153,9 @@ class _TopK:
         return [(-nd, s) for s, nd in self.heap]
 
 
-def _score_single_term(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+def _score_single_term(
+    cursors: list[_Cursor], k: int, dead: set[int] | None = None
+) -> list[tuple[int, float]]:
     """Single-term BMW: visit blocks in descending upper-bound order,
     stop when the best remaining block can't beat the threshold
     (reference: tp_score_single_term_bmw, bmw.c:469-642)."""
@@ -175,11 +177,16 @@ def _score_single_term(cursors: list[_Cursor], k: int) -> list[tuple[int, float]
         # push all (<=128) postings: the heap's (score, -doc_id) order
         # handles both threshold and the doc_id tie-break
         for i in range(len(scores)):
-            topk.push(float(scores[i]), int(ids[i]))
+            d = int(ids[i])
+            if dead is not None and d in dead:
+                continue  # alive filtering (reference: bmw.c:542-548)
+            topk.push(float(scores[i]), d)
     return topk.rows()
 
 
-def _score_wand(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+def _score_wand(
+    cursors: list[_Cursor], k: int, dead: set[int] | None = None
+) -> list[tuple[int, float]]:
     """Multi-term Block-Max WAND (reference: bmw.c:1476-1716)."""
     topk = _TopK(k)
     cursors = [c for c in cursors if c.alive]
@@ -223,11 +230,12 @@ def _score_wand(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
                 for c in prefix:
                     c.seek(next_doc)
                 continue
-            score = 0.0
-            for c in prefix:
-                score += c.cur_score()
-            score = float(np.float32(score))
-            topk.push(score, pivot_doc)
+            if dead is None or pivot_doc not in dead:
+                score = 0.0
+                for c in prefix:
+                    score += c.cur_score()
+                score = float(np.float32(score))
+                topk.push(score, pivot_doc)
             for c in prefix:
                 c.advance()
         else:
@@ -253,6 +261,14 @@ def topk_bmw(index, query: str, k: int = 10) -> DataFrame:
     wmap = {t: float(idf) * int(qf) for t, (idf, qf) in weights.items()}
     single = len(wmap) == 1
     kk = int(k)
+    # alive filtering: ship the dead-id set into the scoring kernel
+    # (the per-segment bitset analog). Deletes are a small fraction of
+    # the corpus between vacuums; at larger volumes vacuum first.
+    dead_all: set[int] | None = None
+    if index.has_deletes():
+        dead_all = {
+            r["doc_id"] for r in index.deleted_ids().collect()
+        }
 
     pruned = index.pruned_postings(list(wmap)).select("term", "run", "blocks")
 
@@ -265,9 +281,9 @@ def topk_bmw(index, query: str, k: int = 10) -> DataFrame:
         if not cursors:
             return pd.DataFrame({"doc_id": [], "score": []})
         rows = (
-            _score_single_term(cursors, kk)
+            _score_single_term(cursors, kk, dead_all)
             if single
-            else _score_wand(cursors, kk)
+            else _score_wand(cursors, kk, dead_all)
         )
         return pd.DataFrame(
             {

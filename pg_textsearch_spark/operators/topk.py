@@ -53,13 +53,31 @@ class BM25Index:
         self.n_buckets: int = self.manifest["n_buckets"]
 
     # -- corpus stats (the metapage read; reference: bm25.c:155-191) ----
+    # pending deletes reduce N immediately and total_tokens by the
+    # quantized dead lengths (reference merge.c:842-866 semantics)
     @property
     def num_docs(self) -> int:
-        return sum(s["num_docs"] for s in self.manifest["segments"])
+        return sum(s["num_docs"] for s in self.manifest["segments"]) - int(
+            self.manifest.get("deleted_docs", 0)
+        )
 
     @property
     def total_tokens(self) -> int:
-        return sum(s["total_tokens"] for s in self.manifest["segments"])
+        return sum(s["total_tokens"] for s in self.manifest["segments"]) - int(
+            self.manifest.get("deleted_tokens_quantized", 0)
+        )
+
+    def deleted_ids(self):
+        """doc_ids marked deleted (the alive-bitset analog); empty DF
+        when no deletes are pending."""
+        path = os.path.join(self.index_dir, "deletes")
+        try:
+            return self.spark.read.parquet(path).select("doc_id").distinct()
+        except Exception:
+            return self.spark.createDataFrame([], "doc_id bigint")
+
+    def has_deletes(self) -> bool:
+        return int(self.manifest.get("deleted_docs", 0)) > 0
 
     @property
     def avgdl(self) -> float:
@@ -174,6 +192,11 @@ def topk_exhaustive(
     flat = pruned.select(
         "term", F.explode(_decode_blocks_udf()("blocks")).alias("p")
     ).select("term", "p.doc_id", "p.tf", "p.fieldnorm")
+    if index.has_deletes():
+        # alive filtering (reference: bmw.c:542-548 via alive bitset)
+        flat = flat.join(
+            F.broadcast(index.deleted_ids()), "doc_id", "left_anti"
+        )
 
     avgdl = F.lit(float(index.avgdl))
     scored = flat.join(F.broadcast(wdf), "term").select(
