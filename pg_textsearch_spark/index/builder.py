@@ -281,6 +281,24 @@ class IndexWriter:
             json.dump(manifest, f, indent=2, sort_keys=True)
         os.replace(tmp, self.manifest_path)
 
+    def write_dictionary(self, spark: SparkSession, seg_id: int) -> None:
+        """Materialize the per-segment term dictionary (term, bucket,
+        df) from the written postings — the reference's sorted
+        dictionary section (format.h:141-154). Query-time df lookup
+        reads this tiny table (one row per term) with bucket pruning
+        instead of touching posting rows (scan.c:698-818 batch-df
+        analog)."""
+        seg_dir = os.path.join(self.index_dir, "postings", f"seg={seg_id}")
+        out_dir = os.path.join(self.index_dir, "dictionary", f"seg={seg_id}")
+        p = spark.read.parquet(seg_dir)  # column-pruned: term/bucket/df_run
+        (
+            p.groupBy("term", "bucket")
+            .agg(F.sum("df_run").cast("long").alias("df"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+
     def write_segment(
         self,
         postings: DataFrame,
@@ -300,6 +318,7 @@ class IndexWriter:
             os.path.join(base, "doclen", f"seg={seg_id}")
         )
         spark = postings.sparkSession
+        self.write_dictionary(spark, seg_id)
         stats = spark.read.parquet(os.path.join(base, "doclen", f"seg={seg_id}")).agg(
             F.count("*").alias("num_docs"),
             F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),

@@ -108,6 +108,7 @@ def merge_segments(
     ).collect()[0]
 
     writer = IndexWriter(base)
+    writer.write_dictionary(spark, new_seg_id)
     manifest = writer.read_manifest()
     src_docs = sum(s["num_docs"] for s in segs)
     src_tokens = sum(s["total_tokens"] for s in segs)
@@ -144,6 +145,9 @@ def merge_segments(
     for sid in seg_set:
         shutil.rmtree(os.path.join(postings_root, f"seg={sid}"), ignore_errors=True)
         shutil.rmtree(os.path.join(doclen_root, f"seg={sid}"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(base, "dictionary", f"seg={sid}"), ignore_errors=True
+        )
     return manifest
 
 

@@ -111,16 +111,55 @@ class BM25Index:
             .filter(F.col("term").isin(list(terms)))
         )
 
-    def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        """Unified doc_freq per term across segments and runs
-        (reference: bm25.c:46-111)."""
-        rows = (
-            self.pruned_postings(terms)
-            .groupBy("term")
-            .agg(F.sum("df_run").alias("df"))
-            .collect()
+    def dictionary(self) -> DataFrame:
+        root = os.path.join(self.index_dir, "dictionary")
+        return self.spark.read.option("basePath", root).parquet(
+            *[os.path.join(root, f"seg={s['seg_id']}") for s in self.manifest["segments"]]
         )
-        return {r["term"]: int(r["df"]) for r in rows}
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Unified doc_freq per term across segments (reference:
+        bm25.c:46-111). Reads the materialized dictionary (one row per
+        term per segment, bucket-pruned) — the binary-search-the-
+        dictionary analog. Pending deletes are corrected by counting
+        the dead docs' term hits (exact, small anti-set)."""
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        try:
+            d = self.dictionary()
+            rows = (
+                d.filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(list(terms)))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            dfs = {r["term"]: int(r["df"]) for r in rows}
+        except Exception:
+            # legacy segments without a dictionary: derive from postings
+            rows = (
+                self.pruned_postings(terms)
+                .groupBy("term")
+                .agg(F.sum("df_run").alias("df"))
+                .collect()
+            )
+            dfs = {r["term"]: int(r["df"]) for r in rows}
+        if self.has_deletes() and dfs:
+            from pg_textsearch_spark.operators.topk import _decode_blocks_udf
+
+            dead = self.deleted_ids()
+            flat = self.pruned_postings(list(dfs)).select(
+                "term", F.explode(_decode_blocks_udf()("blocks")).alias("p")
+            ).select("term", F.col("p.doc_id").alias("doc_id"))
+            dead_rows = (
+                flat.join(F.broadcast(dead), "doc_id")
+                .groupBy("term")
+                .agg(F.count("*").alias("dead_df"))
+                .collect()
+            )
+            for r in dead_rows:
+                dfs[r["term"]] = dfs.get(r["term"], 0) - int(r["dead_df"])
+            dfs = {t: v for t, v in dfs.items() if v > 0}
+        return dfs
 
     def query_weights(self, query: str) -> dict[str, tuple[float, int]]:
         """query text -> {term: (idf, query_freq)} — float64 IDF."""
