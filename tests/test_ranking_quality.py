@@ -1,0 +1,76 @@
+"""Ranking-quality smoke on real-ish prose with the english config
+(stemming + stopwords through the full index path) — the reference's
+aerodocs/Cranfield quality tests in miniature (FIXTURES.md F7,
+test/README.md:26). Also pins the F3 two-doc golden case."""
+
+import pytest
+
+from pg_textsearch_spark.index.builder import build_index
+from pg_textsearch_spark.operators.bmw import topk_bmw
+from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+
+DOCS = [
+    (1, "The turbulent boundary layer on a flat plate develops downstream "
+        "of the leading edge and its thickness grows with Reynolds number."),
+    (2, "Supersonic flow over a slender cone produces an attached shock "
+        "wave whose angle depends on the Mach number."),
+    (3, "Heat transfer in hypersonic vehicles is dominated by stagnation "
+        "point heating which scales with nose radius."),
+    (4, "The lift coefficient of a thin airfoil varies linearly with angle "
+        "of attack until stall, as predicted by thin airfoil theory."),
+    (5, "Numerical methods for solving the compressible Navier Stokes "
+        "equations require shock capturing schemes."),
+    (6, "A recipe for sourdough bread requires patient fermentation and a "
+        "well maintained starter culture."),
+]
+
+QUERIES = {
+    "boundary layer thickness": 1,
+    "shock wave mach cone": 2,
+    "stagnation heating hypersonic": 3,
+    "airfoil lift stall": 4,
+    "navier stokes shock capturing": 5,
+    "sourdough fermentation": 6,
+}
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("quality") / "idx")
+    build_index(spark, docs, d, config="english", n_buckets=4)
+    return BM25Index(spark, d)
+
+
+@pytest.mark.parametrize("query,expected_top", list(QUERIES.items()))
+def test_relevant_doc_ranks_first(idx, query, expected_top):
+    res = topk_exhaustive(idx, query, 3).collect()
+    assert res and res[0]["doc_id"] == expected_top, [
+        (r["doc_id"], r["score"]) for r in res
+    ]
+    bmw = topk_bmw(idx, query, 3).collect()
+    assert bmw[0]["doc_id"] == expected_top
+
+
+def test_stemming_unifies_morphology(idx):
+    # query 'heated stagnating' stems to 'heat stagnat' — must still
+    # retrieve doc 3 ('heating', 'stagnation') via shared stems
+    res = topk_exhaustive(idx, "heated stagnating vehicles", 2).collect()
+    assert res and res[0]["doc_id"] == 3
+
+
+def test_f3_two_doc_golden(spark, tmp_path):
+    # FIXTURES.md F3 (reference test/sql/scoring1.sql): smallest case
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "goodbye cruel world")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "f3")
+    build_index(spark, docs, d, config="english", n_buckets=2)
+    idx = BM25Index(spark, d)
+    hello = topk_exhaustive(idx, "hello", 2).collect()
+    assert [r["doc_id"] for r in hello] == [1]
+    # reference golden score 0.7549 for k1=1.2 b=0.75 at 4 decimals
+    assert abs(hello[0]["score"] - 0.7549) < 5e-4, hello[0]["score"]
+    cruel = topk_exhaustive(idx, "cruel", 2).collect()
+    assert [r["doc_id"] for r in cruel] == [2]
