@@ -46,6 +46,12 @@ QUERY_SINGLE = "window"
 QUERY_MULTI = "spark query table"
 QUERY_REPEAT = "join join merge"
 TERMS_DF = ["join", "window", "stream", "nosuchterm"]
+BATCH_QUERIES = {
+    "q1": QUERY_MULTI,
+    "q2": QUERY_SINGLE,
+    "q3": "stream batch filter",
+    "q4": "customer order part",
+}
 
 
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,6 +140,48 @@ LIMIT {k}
 """
 
 
+def topk_batch_oracle_sql(batch: dict[str, str], k: int = 10) -> str:
+    vals = []
+    for qid, qtext in batch.items():
+        for term, qf in sorted(tokenize_query(qtext, CONFIG).items()):
+            vals.append(f"('{qid}', '{term}', {qf})")
+    dlq = fieldnorm_case_sql("dl.doc_len")
+    k1, b = DEFAULT_K1, DEFAULT_B
+    return f"""
+WITH {_TOK_CTE},
+qterms AS (
+  SELECT * FROM (VALUES {", ".join(vals)}) AS q(query_id, term, query_freq)
+),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1.0 + (c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * {k1 + 1.0}
+           / (tf.tf + {k1} * ({1.0 - b} + {b} * ({dlq}) / c.avgdl))
+           * q.query_freq
+         ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, round(score, 4) AS score
+FROM r WHERE rank <= {k}
+"""
+
+
 def corpus_stats_oracle_sql() -> str:
     return f"WITH {_TOK_CTE} SELECT n_docs, (SELECT sum(doc_len) FROM dl)::BIGINT AS total_tokens, round(avgdl, 6) AS avgdl FROM corpus"
 
@@ -169,6 +217,16 @@ def q_bm25_topk(query: str, k: int = 10):
         return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
     return run
+
+
+def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.topk import topk_batch
+
+    idx = ensure_index(spark, sf_dir)
+    res = topk_batch(idx, BATCH_QUERIES, k=10)
+    return res.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,6 +497,7 @@ def harness_queries() -> dict:
         "bm25_topk_single": q_bm25_topk(QUERY_SINGLE),
         "bm25_topk_repeat": q_bm25_topk(QUERY_REPEAT),
         "bm25_topk_bmw": q_bmw_topk(QUERY_MULTI),
+        "bm25_topk_batch": q_topk_batch,
         "bm25_corpus_stats": q_corpus_stats,
         "bm25_term_df": q_term_df,
         "bm25_doclen_fieldnorm": q_doclen,
@@ -463,6 +522,7 @@ def harness_oracle_sql() -> dict:
         "bm25_topk_multi": bm25_topk_oracle_sql(QUERY_MULTI),
         "bm25_topk_single": bm25_topk_oracle_sql(QUERY_SINGLE),
         "bm25_topk_repeat": bm25_topk_oracle_sql(QUERY_REPEAT),
+        "bm25_topk_batch": topk_batch_oracle_sql(BATCH_QUERIES),
         "bm25_corpus_stats": corpus_stats_oracle_sql(),
         "bm25_term_df": term_df_oracle_sql(TERMS_DF),
         "bm25_doclen_fieldnorm": doclen_oracle_sql(),

@@ -263,3 +263,78 @@ def topk_exhaustive(
     if with_text is not None:
         ranked = ranked.join(F.broadcast(with_text), "doc_id", "left")
     return ranked
+
+
+def topk_batch(
+    index: BM25Index, queries: dict[str, str] | dict[int, str], k: int = 10
+) -> DataFrame:
+    """Evaluate MANY queries in one pass: (query_id, rank, doc_id, score).
+
+    This is where Spark beats a single-node server on throughput: one
+    postings scan over the union of all query terms, one broadcast of
+    all (query_id, term, idf, qf) weights, one aggregation keyed by
+    (query_id, doc_id), one windowed top-k per query. Per-query
+    marginal cost approaches the scan share of its terms — batch 691
+    MS-MARCO-style queries into a handful of jobs instead of 691.
+
+    Semantics per query are identical to ``topk_exhaustive`` (same
+    float64 math, same (score DESC, doc_id ASC) tie-break).
+    """
+    spark = index.spark
+    from pg_textsearch_spark.functions.tokenizer import tokenize_query
+
+    per_query = {
+        qid: tokenize_query(qtext, index.config) for qid, qtext in queries.items()
+    }
+    all_terms = sorted({t for qtf in per_query.values() for t in qtf})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id bigint, score double"
+        )
+    dfs = index.term_dfs(all_terms)
+    n = index.num_docs
+    rows = []
+    for qid, qtf in per_query.items():
+        for term, qf in qtf.items():
+            df = dfs.get(term, 0)
+            if df == 0:
+                continue
+            idf = math.log1p((n - df + 0.5) / (df + 0.5))
+            rows.append((str(qid), term, idf, int(qf)))
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id bigint, score double"
+        )
+    wdf = spark.createDataFrame(
+        rows, "query_id string, term string, idf double, query_freq int"
+    )
+    live_terms = sorted({r[1] for r in rows})
+    pruned = index.pruned_postings(live_terms)
+    flat = pruned.select(
+        "term", F.explode(_decode_blocks_udf()("blocks")).alias("p")
+    ).select("term", "p.doc_id", "p.tf", "p.fieldnorm")
+    if index.has_deletes():
+        flat = flat.join(F.broadcast(index.deleted_ids()), "doc_id", "left_anti")
+    avgdl = F.lit(float(index.avgdl))
+    scored = flat.join(F.broadcast(wdf), "term").select(
+        "query_id",
+        "doc_id",
+        bm25.bm25_score_expr(
+            tf=F.col("tf").cast("double"),
+            dl=_fieldnorm_decode_expr(F.col("fieldnorm")),
+            idf=F.col("idf"),
+            avgdl=avgdl,
+            query_freq=F.col("query_freq").cast("double"),
+            k1=index.k1,
+            b=index.b,
+        ).alias("term_score"),
+    )
+    doc_scores = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        doc_scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
