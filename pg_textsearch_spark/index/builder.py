@@ -83,28 +83,6 @@ def _fieldnorm_udf():
     return _enc
 
 
-def _blocks_udf():
-    @pandas_udf(BLOCKS_SCHEMA)
-    def _blk(plists: pd.Series) -> pd.Series:
-        """list<struct<doc_id,tf,fieldnorm>> -> blocks (one term-run).
-
-        Used by the merge path; the bulk-build hot path uses the
-        columnar ``_postings_rows`` mapInPandas instead (no per-element
-        dict conversion).
-        """
-
-        def one(plist):
-            arr = np.asarray(
-                [(p["doc_id"], p["tf"], p["fieldnorm"]) for p in plist],
-                dtype=np.int64,
-            )
-            return build_blocks(arr[:, 0], arr[:, 1], arr[:, 2])
-
-        return plists.map(one)
-
-    return _blk
-
-
 _POSTINGS_ROW_SCHEMA = (
     "term string, run bigint, df_run bigint, blocks " + BLOCKS_SCHEMA
 )
@@ -239,12 +217,6 @@ def build_segment_dataframes(
         )
     )
 
-    # the term-partitioned shuffle: hash by (term, run) — head terms
-    # shard across reducers by run — then sort within partitions so
-    # each (term, run) group is a contiguous sorted slice, consumed by
-    # the columnar mapInPandas block builder.
-    spark = docs.sparkSession
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     flat = toklen.select(
         "term",
         F.shiftright("doc_id", RUN_SHIFT).alias("run"),
@@ -252,13 +224,25 @@ def build_segment_dataframes(
         "tf",
         "fieldnorm",
     )
-    postings = (
+    return postings_from_flat(flat, n_buckets), doclen
+
+
+def postings_from_flat(flat: DataFrame, n_buckets: int) -> DataFrame:
+    """(term, run, doc_id, tf, fieldnorm) -> posting rows.
+
+    The term-partitioned shuffle: hash by (term, run) — head terms
+    shard across reducers by run — then sort within partitions so each
+    (term, run) group is a contiguous sorted slice, consumed by the
+    columnar mapInPandas block builder. Shared by bulk build, merge,
+    and vacuum."""
+    spark = flat.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
         flat.repartition(n_shuffle, "term", "run")
         .sortWithinPartitions("term", "run", "doc_id")
         .mapInPandas(_postings_rows, _POSTINGS_ROW_SCHEMA)
         .withColumn("bucket", term_bucket_expr(F.col("term"), n_buckets))
     )
-    return postings, doclen
 
 
 class IndexWriter:

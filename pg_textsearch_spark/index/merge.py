@@ -28,8 +28,7 @@ from pyspark.sql import functions as F
 
 from pg_textsearch_spark.index.builder import (
     IndexWriter,
-    _blocks_udf,
-    term_bucket_expr,
+    postings_from_flat,
 )
 from pg_textsearch_spark.operators.topk import BM25Index, _decode_blocks_udf
 
@@ -69,22 +68,7 @@ def merge_segments(
         # merge.c old_to_new = UINT32_MAX path, merge.c:658-882)
         flat = flat.join(F.broadcast(drop_doc_ids), "doc_id", "left_anti")
 
-    merged = (
-        flat.groupBy("term", "run")
-        .agg(
-            F.count("*").cast("long").alias("df_run"),
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "tf", "fieldnorm"))
-            ).alias("plist"),
-        )
-        .select(
-            "term",
-            term_bucket_expr(F.col("term"), n_buckets).alias("bucket"),
-            "run",
-            "df_run",
-            _blocks_udf()("plist").alias("blocks"),
-        )
-    )
+    merged = postings_from_flat(flat, n_buckets)
 
     doclen_root = os.path.join(base, "doclen")
     merged_doclen = spark.read.option("basePath", doclen_root).parquet(
