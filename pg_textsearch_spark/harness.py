@@ -339,6 +339,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw tokenizer output (doc_id, term, tf) for a doc slice —
+    operator I1 gated directly."""
+    from pg_textsearch_spark.functions.tokenizer import spark_token_table
+
+    ensure_shipped(spark)
+    docs = documents(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return spark_token_table(docs, "doc_id", "text", CONFIG)
+
+
+def tokenize_tf_oracle_sql() -> str:
+    return f"""
+WITH {_TOK_CTE}
+SELECT doc_id, term, tf::INT AS tf FROM tf WHERE doc_id < 50
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_textsearch_spark.functions import textstats as ts
 
@@ -502,6 +519,7 @@ def harness_queries() -> dict:
         "bm25_term_df": q_term_df,
         "bm25_doclen_fieldnorm": q_doclen,
         "bm25_score_texts": q_score_texts,
+        "tokenize_tf": q_tokenize_tf,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash_lsh,
@@ -527,6 +545,7 @@ def harness_oracle_sql() -> dict:
         "bm25_term_df": term_df_oracle_sql(TERMS_DF),
         "bm25_doclen_fieldnorm": doclen_oracle_sql(),
         "bm25_score_texts": score_texts_oracle_sql(QUERY_MULTI),
+        "tokenize_tf": tokenize_tf_oracle_sql(),
         "dedup_exact": dedup_exact_oracle_sql(),
         "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(0.1),
         "dedup_embedding_cosine": embedding_neardup_oracle_sql(0.35),
