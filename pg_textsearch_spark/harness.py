@@ -89,7 +89,13 @@ tok AS (
   WHERE t.tok <> '' AND length(t.tok) <= 2047
 ),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
-dl AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM tf GROUP BY 1),
+dl AS (
+  -- every doc counts, incl. ones tokenizing to nothing (doc_len 0)
+  SELECT d.doc_id, coalesce(t.doc_len, 0)::BIGINT AS doc_len
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM tf GROUP BY 1) t
+  USING (doc_id)
+),
 corpus AS (
   SELECT count(*)::BIGINT AS n_docs,
          (sum(doc_len)::DOUBLE / count(*)) AS avgdl

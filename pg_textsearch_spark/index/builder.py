@@ -209,12 +209,21 @@ def build_segment_dataframes(
     # location — see checkpointing in index/checkpoint.py.)
     toklen = toklen.persist(StorageLevel.MEMORY_AND_DISK)
 
+    # every input doc appears in doclen, including docs whose text
+    # tokenizes to nothing (doc_len 0, fieldnorm encode(0)=0): the
+    # reference's docmap registers every indexed row, so N/avgdl count
+    # empty docs too (reference: docmap.c:42-212, bm25.c:155-191)
     doclen = (
-        toklen.groupBy("doc_id")
-        .agg(
-            F.first("doc_len").alias("doc_len"),
-            F.first("fieldnorm").alias("fieldnorm"),
+        docs.select(F.col(doc_id_col).cast("long").alias("doc_id"))
+        .join(
+            toklen.groupBy("doc_id").agg(
+                F.first("doc_len").alias("doc_len"),
+                F.first("fieldnorm").alias("fieldnorm"),
+            ),
+            "doc_id",
+            "left",
         )
+        .fillna({"doc_len": 0, "fieldnorm": 0})
     )
 
     flat = toklen.select(

@@ -65,11 +65,12 @@ def score_texts(
         n_docs, avgdl = index.num_docs, index.avgdl
         dfs = index.term_dfs(list(qtf))
     else:
-        stats = toklen.groupBy(id_col).agg(F.first("doc_len").alias("dl")).agg(
-            F.count("*").alias("n"), F.sum("dl").alias("tt")
-        ).collect()[0]
-        n_docs = int(stats["n"])
-        avgdl = (int(stats["tt"]) / n_docs) if n_docs else 0.0
+        # N counts every doc, incl. empty-tokenizing ones (docmap rule)
+        n_docs = docs.count()
+        tt = toklen.groupBy(id_col).agg(F.first("doc_len").alias("dl")).agg(
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("tt")
+        ).collect()[0]["tt"]
+        avgdl = (int(tt) / n_docs) if n_docs else 0.0
         dfs = {
             r["term"]: int(r["df"])
             for r in tokens.filter(F.col("term").isin(list(qtf)))

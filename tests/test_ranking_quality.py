@@ -74,3 +74,22 @@ def test_f3_two_doc_golden(spark, tmp_path):
     assert abs(hello[0]["score"] - 0.7549) < 5e-4, hello[0]["score"]
     cruel = topk_exhaustive(idx, "cruel", 2).collect()
     assert [r["doc_id"] for r in cruel] == [2]
+
+
+def test_empty_doc_counts_in_corpus_stats(spark, tmp_path):
+    # a doc whose text tokenizes to nothing still occupies a doc_id and
+    # contributes to N (reference docmap registers every indexed row)
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "!!! ..."), (3, "hello again")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "empty")
+    build_index(spark, docs, d, config="ascii", n_buckets=2)
+    idx = BM25Index(spark, d)
+    assert idx.num_docs == 3
+    dl = {r["doc_id"]: (r["doc_len"], r["fieldnorm"])
+          for r in idx.doclen().collect()}
+    assert dl[2] == (0, 0)
+    assert idx.total_tokens == 4
+    res = topk_exhaustive(idx, "hello", 3).collect()
+    assert {r["doc_id"] for r in res} == {1, 3}
