@@ -254,6 +254,23 @@ def postings_from_flat(flat: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
+def write_postings(postings: DataFrame, path: str) -> None:
+    """Physical layout = the dictionary's binary-searchability: cluster
+    each bucket into term-sorted files with small row groups so the
+    query-time ``term IN (...)`` predicate prunes at row-group
+    granularity (the reference reads only the matched terms' blocks;
+    without this a query reads its whole bucket). Shared by bulk build
+    and merge/vacuum."""
+    (
+        postings.repartition("bucket")
+        .sortWithinPartitions("term", "run")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 class IndexWriter:
     """Writes segments + maintains the manifest (the 'metapage')."""
 
@@ -304,9 +321,7 @@ class IndexWriter:
         lineage: dict | None = None,
     ) -> dict:
         base = self.index_dir
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(base, "postings", f"seg={seg_id}")
-        )
+        write_postings(postings, os.path.join(base, "postings", f"seg={seg_id}"))
         doclen.write.mode("overwrite").parquet(
             os.path.join(base, "doclen", f"seg={seg_id}")
         )

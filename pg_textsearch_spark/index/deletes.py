@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from pg_textsearch_spark.index.builder import IndexWriter
 from pg_textsearch_spark.operators.topk import (
     BM25Index,
-    _decode_blocks_udf,
     _fieldnorm_decode_expr,
 )
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pg_textsearch_spark.operators.topk import BM25Index, _decode_blocks_udf
+from pg_textsearch_spark.operators.topk import BM25Index, decode_postings_flat
 
 
 def describe_index(index: BM25Index) -> dict:
@@ -59,6 +59,4 @@ def dump_index(index: BM25Index, terms: list[str] | None = None) -> DataFrame:
     """Flat postings view (term, run, doc_id, tf, fieldnorm) —
     bm25_dump_index analog, optionally restricted to terms."""
     p = index.pruned_postings(terms) if terms else index.postings()
-    return p.select(
-        "term", "run", F.explode(_decode_blocks_udf()("blocks")).alias("x")
-    ).select("term", "run", "x.doc_id", "x.tf", "x.fieldnorm")
+    return decode_postings_flat(p)

@@ -29,8 +29,9 @@ from pyspark.sql import functions as F
 from pg_textsearch_spark.index.builder import (
     IndexWriter,
     postings_from_flat,
+    write_postings,
 )
-from pg_textsearch_spark.operators.topk import BM25Index, _decode_blocks_udf
+from pg_textsearch_spark.operators.topk import BM25Index, decode_postings_flat
 
 MAX_LEVELS = 8  # TP_MAX_LEVELS (reference: constants.h:74)
 SEGMENTS_PER_LEVEL = 8  # default compaction fan-in (reference: mod.c:256-269)
@@ -60,9 +61,7 @@ def merge_segments(
     src_postings = spark.read.option("basePath", postings_root).parquet(
         *[os.path.join(postings_root, f"seg={sid}") for sid in sorted(seg_set)]
     )
-    flat = src_postings.select(
-        "term", "run", F.explode(_decode_blocks_udf()("blocks")).alias("p")
-    ).select("term", "run", "p.doc_id", "p.tf", "p.fieldnorm")
+    flat = decode_postings_flat(src_postings)
     if drop_doc_ids is not None:
         # dead docs physically dropped during merge (reference:
         # merge.c old_to_new = UINT32_MAX path, merge.c:658-882)
@@ -80,9 +79,7 @@ def merge_segments(
         )
 
     # write new segment, then drop sources from the manifest atomically
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(postings_root, f"seg={new_seg_id}")
-    )
+    write_postings(merged, os.path.join(postings_root, f"seg={new_seg_id}"))
     merged_doclen.write.mode("overwrite").parquet(
         os.path.join(doclen_root, f"seg={new_seg_id}")
     )

@@ -144,12 +144,10 @@ class BM25Index:
             )
             dfs = {r["term"]: int(r["df"]) for r in rows}
         if self.has_deletes() and dfs:
-            from pg_textsearch_spark.operators.topk import _decode_blocks_udf
-
             dead = self.deleted_ids()
-            flat = self.pruned_postings(list(dfs)).select(
-                "term", F.explode(_decode_blocks_udf()("blocks")).alias("p")
-            ).select("term", F.col("p.doc_id").alias("doc_id"))
+            flat = decode_postings_flat(
+                self.pruned_postings(list(dfs))
+            ).select("term", "doc_id")
             dead_rows = (
                 flat.join(F.broadcast(dead), "doc_id")
                 .groupBy("term")
@@ -178,27 +176,47 @@ class BM25Index:
         return out
 
 
-_POSTING_SCHEMA = "array<struct<doc_id:bigint,tf:int,fieldnorm:int>>"
+_FLAT_SCHEMA = (
+    "term string, run bigint, doc_id bigint, tf int, fieldnorm int"
+)
 
 
-def _decode_blocks_udf():
-    @pandas_udf(_POSTING_SCHEMA)
-    def _dec(blocks: pd.Series) -> pd.Series:
-        """Decode posting blocks back to flat postings (Arrow batch)."""
+def decode_postings_flat(postings: DataFrame) -> DataFrame:
+    """Posting rows -> flat (term, run, doc_id, tf, fieldnorm).
 
-        def one(blist):
-            out = []
-            for b in blist:
-                ids, tfs, fns = decompress_block(bytes(b["payload"]))
-                out.extend(
-                    {"doc_id": int(i), "tf": int(t), "fieldnorm": int(f)}
-                    for i, t, f in zip(ids.tolist(), tfs.tolist(), fns.tolist())
-                )
-            return out
+    mapInPandas emitting columnar numpy frames — no per-posting Python
+    objects (an explode-of-structs pandas UDF builds one dict per
+    posting and is 10-50x slower on multi-million-posting scans).
+    """
+    import numpy as np
 
-        return blocks.map(one)
+    def run(batches):
+        for pdf in batches:
+            terms, runs, ids, tfs, fns = [], [], [], [], []
+            for term, r, blocks in zip(pdf["term"], pdf["run"], pdf["blocks"]):
+                for b in blocks:
+                    i, t, f = decompress_block(bytes(b["payload"]))
+                    n = len(i)
+                    ids.append(i.astype(np.int64))
+                    tfs.append(t.astype(np.int32))
+                    fns.append(f.astype(np.int32))
+                    terms.append(np.repeat(term, n))
+                    runs.append(np.full(n, r, dtype=np.int64))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "run": np.concatenate(runs),
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs),
+                    "fieldnorm": np.concatenate(fns),
+                }
+            )
 
-    return _dec
+    return postings.select("term", "run", "blocks").mapInPandas(
+        run, _FLAT_SCHEMA
+    )
 
 
 def _fieldnorm_decode_expr(col):
@@ -228,9 +246,7 @@ def topk_exhaustive(
         "term string, idf double, query_freq int",
     )
     pruned = index.pruned_postings(list(weights))
-    flat = pruned.select(
-        "term", F.explode(_decode_blocks_udf()("blocks")).alias("p")
-    ).select("term", "p.doc_id", "p.tf", "p.fieldnorm")
+    flat = decode_postings_flat(pruned)
     if index.has_deletes():
         # alive filtering (reference: bmw.c:542-548 via alive bitset)
         flat = flat.join(
@@ -310,9 +326,7 @@ def topk_batch(
     )
     live_terms = sorted({r[1] for r in rows})
     pruned = index.pruned_postings(live_terms)
-    flat = pruned.select(
-        "term", F.explode(_decode_blocks_udf()("blocks")).alias("p")
-    ).select("term", "p.doc_id", "p.tf", "p.fieldnorm")
+    flat = decode_postings_flat(pruned)
     if index.has_deletes():
         flat = flat.join(F.broadcast(index.deleted_ids()), "doc_id", "left_anti")
     avgdl = F.lit(float(index.avgdl))
