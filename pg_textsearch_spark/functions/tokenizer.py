@@ -92,6 +92,28 @@ def get_config(name: str) -> TokenizerConfig:
         raise ValueError(f"unknown text config {name!r}; have {sorted(CONFIGS)}")
 
 
+def register_config(
+    name: str,
+    base: str = "simple",
+    extra_stopwords: frozenset[str] | set[str] = frozenset(),
+    do_stem: bool | None = None,
+) -> TokenizerConfig:
+    """Register a custom text config (the reference's extension point:
+    custom text-search configurations, README.md:694-732). Derives
+    from a base config; indexes store the config name in their
+    manifest, so a registered name must be stable across sessions."""
+    b = get_config(base)
+    cfg = TokenizerConfig(
+        name=name,
+        py_pattern=b.py_pattern,
+        sql_split_pattern=b.sql_split_pattern,
+        stopwords=frozenset(b.stopwords) | frozenset(extra_stopwords),
+        do_stem=b.do_stem if do_stem is None else do_stem,
+    )
+    CONFIGS[name] = cfg
+    return cfg
+
+
 # ---------------------------------------------------------------------------
 # Pure-Python path (conformance oracle + driver-side query tokenization)
 # ---------------------------------------------------------------------------

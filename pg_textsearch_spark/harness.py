@@ -345,6 +345,31 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with document resolution (operator Q12: doc_id -> row)."""
+    idx = ensure_index(spark, sf_dir)
+    docs = documents(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    res = topk_exhaustive(idx, QUERY_MULTI, k=10, with_text=docs)
+    return res.select("rank", "doc_id", "lang", "n_chars")
+
+
+def topk_resolve_oracle_sql(query: str, k: int = 10) -> str:
+    inner = bm25_topk_oracle_sql(query, k)
+    return f"""
+WITH topk AS ({inner})
+SELECT t.rank, t.doc_id, d.lang, d.n_chars
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.rank
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.dedup import simhash_neardup_pairs
+
+    ensure_shipped(spark)
+    return simhash_neardup_pairs(documents(spark, sf_dir), max_hamming=16)
+
+
 def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw tokenizer output (doc_id, term, tf) for a doc slice —
     operator I1 gated directly."""
@@ -526,7 +551,9 @@ def harness_queries() -> dict:
         "bm25_doclen_fieldnorm": q_doclen,
         "bm25_score_texts": q_score_texts,
         "tokenize_tf": q_tokenize_tf,
+        "bm25_topk_resolve": q_topk_resolve,
         "dedup_exact": q_dedup_exact,
+        "dedup_simhash_pairs": q_simhash_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash,
@@ -552,6 +579,7 @@ def harness_oracle_sql() -> dict:
         "bm25_doclen_fieldnorm": doclen_oracle_sql(),
         "bm25_score_texts": score_texts_oracle_sql(QUERY_MULTI),
         "tokenize_tf": tokenize_tf_oracle_sql(),
+        "bm25_topk_resolve": topk_resolve_oracle_sql(QUERY_MULTI),
         "dedup_exact": dedup_exact_oracle_sql(),
         "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(0.1),
         "dedup_embedding_cosine": embedding_neardup_oracle_sql(0.35),

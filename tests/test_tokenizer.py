@@ -111,3 +111,14 @@ def test_chunking_no_whitespace_fallback():
     blob = "x" * (CHUNK_BYTES + 100)
     chunks = list(_chunk_boundaries(blob))
     assert "".join(chunks) == blob
+
+
+def test_register_custom_config():
+    from pg_textsearch_spark.functions.tokenizer import register_config
+
+    register_config("english_plus", base="english",
+                    extra_stopwords={"spark", "hadoop"})
+    got = tokenize("The Spark runners were running", "english_plus")
+    assert got == {"runner": 1, "run": 1}
+    # base config unaffected
+    assert "spark" in tokenize("spark spark", "english")
