@@ -387,6 +387,34 @@ SELECT doc_id, term, tf::INT AS tf FROM tf WHERE doc_id < 50
 """
 
 
+def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end over the north-rule input shape (rows-only check):
+    synthetic pages(url, warc_ts, html, text, lang) -> extract_text(html)
+    -> build index keyed by url -> BM25 top-k. Exercises I5/I6, url
+    doc-identity, and the english config in one pass."""
+    import hashlib
+
+    from pg_textsearch_spark.index.builder import build_index
+    from pg_textsearch_spark.sources.pages import (
+        generate_pages,
+        with_extracted_text,
+    )
+
+    ensure_shipped(spark)
+    tag = hashlib.sha1(f"pages:{sf_dir}:v1".encode()).hexdigest()[:12]
+    idx_dir = os.path.join(_INDEX_CACHE_ROOT, tag)
+    with _build_lock:
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            pages = with_extracted_text(generate_pages(spark, 2000, seed=77))
+            build_index(
+                spark, pages, idx_dir, key_col="url",
+                text_col="extracted_text", config="english", n_buckets=8,
+                lineage={"input": "synthetic pages n=2000 seed=77"},
+            )
+    idx = BM25Index(spark, idx_dir)
+    return topk_exhaustive(idx, "t0 t1 t2", k=10)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_textsearch_spark.functions import textstats as ts
 
@@ -561,6 +589,7 @@ def harness_queries() -> dict:
         "knn_cosine_topk": q_knn_topk,
         "knn_ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
+        "pages_e2e_pipeline": q_pages_pipeline,
     }
 
 
