@@ -38,6 +38,7 @@ def generate_media(
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     def gen(it):
+        np.seterr(over="ignore")  # uint64 counter arithmetic wraps by design
         for pdf in it:
             ids = pdf["id"].to_numpy().astype(np.uint64)
             base = np.uint64(seed * 0x9E3779B1)

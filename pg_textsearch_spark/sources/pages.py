@@ -40,10 +40,11 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized counter-based PRNG step (splitmix64, public domain
     algorithm). Content derives purely from the input counter, so the
     corpus is identical under any partitioning or cluster size."""
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
-    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
-    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
-    return x ^ (x >> np.uint64(31))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
+        return x ^ (x >> np.uint64(31))
 
 
 def _u01(x: np.ndarray) -> np.ndarray:
@@ -72,7 +73,8 @@ def _batch_texts(seed: int, ids: np.ndarray, vocab_size: int) -> list[str]:
     """
     vm = _VOCAB_CACHE.setdefault(vocab_size, _VocabModel(vocab_size))
     ids = ids.astype(np.uint64)
-    base = (np.uint64(seed) * np.uint64(0xA24BAED4963EE407)) & _M64
+    np.seterr(over="ignore")  # uint64 counter arithmetic wraps by design
+    base = np.uint64((seed * 0xA24BAED4963EE407) & 0xFFFFFFFFFFFFFFFF)
     # doc lengths
     u1 = _u01(base ^ (ids * np.uint64(3)))
     u2 = _u01(base ^ (ids * np.uint64(3) + np.uint64(1)))

@@ -109,3 +109,25 @@ def test_expression_index_analog(spark, tmp_path):
     assert idx.num_docs == 80
     res = topk_exhaustive(idx, "t0 t1", 5).collect()
     assert len(res) == 5
+
+
+def test_tokenize_vector_udf_matches_tokenize(spark):
+    # the bm25vector-shaped column (reference: src/types/vector.h) must
+    # agree with the scalar tokenizer
+    from pg_textsearch_spark.functions.tokenizer import (
+        tokenize,
+        tokenize_vector_udf,
+    )
+
+    ensure_shipped(spark)
+    rows = [(1, "The runners were running, running fast!"),
+            (2, "hello hello world"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["v"] for r in df.select(
+        "doc_id", tokenize_vector_udf("english")("text").alias("v")
+    ).collect()}
+    assert {e["term"]: e["tf"] for e in out[1]} == tokenize(rows[0][1], "english")
+    assert {e["term"]: e["tf"] for e in out[2]} == {"hello": 2, "world": 1}
+    assert out[3] == []
+    # sorted by term (deterministic wire order)
+    assert [e["term"] for e in out[1]] == sorted(e["term"] for e in out[1])
