@@ -30,8 +30,10 @@ def build_blocks(doc_ids, tfs, fieldnorms) -> list[dict]:
     ids = np.asarray(doc_ids, dtype=np.uint64)
     tf = np.asarray(tfs, dtype=np.uint32)
     fn = np.asarray(fieldnorms, dtype=np.uint8)
-    order = np.argsort(ids, kind="stable")
-    ids, tf, fn = ids[order], tf[order], fn[order]
+    # builder groups arrive pre-sorted; only sort when actually needed
+    if len(ids) > 1 and not np.all(ids[1:] > ids[:-1]):
+        order = np.argsort(ids, kind="stable")
+        ids, tf, fn = ids[order], tf[order], fn[order]
     out = []
     for start in range(0, len(ids), BLOCK_SIZE):
         end = min(start + BLOCK_SIZE, len(ids))

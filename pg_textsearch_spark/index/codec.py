@@ -49,12 +49,39 @@ def _unpack_bits(buf: memoryview, n: int, width: int) -> np.ndarray:
     return bits.astype(np.uint64) @ weights
 
 
+def _compress_small(doc_ids, tfs, fieldnorms) -> bytes:
+    """Python-int packing for small blocks: tail terms produce millions
+    of 1-5 posting groups and the numpy matrix path costs ~15 array-op
+    overheads per call; arbitrary-precision int shifting is 3-4x faster
+    below ~32 postings and byte-identical."""
+    n = len(doc_ids)
+    deltas = [int(doc_ids[0])] + [
+        int(doc_ids[i]) - int(doc_ids[i - 1]) for i in range(1, n)
+    ]
+    id_bits = _width(max(deltas))
+    tf_bits = _width(int(max(tfs)))
+    assert tf_bits <= 16
+    acc = 0
+    for i, v in enumerate(deltas):
+        acc |= v << (i * id_bits)
+    b1 = acc.to_bytes((n * id_bits + 7) // 8, "little")
+    acc = 0
+    for i, v in enumerate(tfs):
+        acc |= int(v) << (i * tf_bits)
+    b2 = acc.to_bytes((n * tf_bits + 7) // 8, "little")
+    return bytes([id_bits, tf_bits, n - 1]) + b1 + b2 + bytes(
+        int(x) for x in fieldnorms
+    )
+
+
 def compress_block(
     doc_ids: np.ndarray, tfs: np.ndarray, fieldnorms: np.ndarray
 ) -> bytes:
     """Compress one posting block (strictly increasing doc_ids)."""
     n = len(doc_ids)
     assert 0 < n <= BLOCK_SIZE, n
+    if n <= 32:
+        return _compress_small(doc_ids, tfs, fieldnorms)
     ids = np.asarray(doc_ids, dtype=np.uint64)
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = ids[0]  # first delta = absolute doc_id

@@ -122,3 +122,26 @@ def test_register_custom_config():
     assert got == {"runner": 1, "run": 1}
     # base config unaffected
     assert "spark" in tokenize("spark spark", "english")
+
+
+def test_jvm_python_tokenizer_parity_unicode(spark):
+    # the index build tokenizes on the JVM (split/explode); queries
+    # tokenize in Python. They MUST agree or query terms miss the index.
+    from pg_textsearch_spark.functions.tokenizer import spark_token_table
+    from pg_textsearch_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    texts = [
+        (1, "Über die Brücke: größere Straßen führen zum Fluß."),
+        (2, "北京 大学 的 图书馆 非常 大。"),
+        (3, "naïve café — résumé's élan; 3.14 Ωmega"),
+        (4, "Здравствуйте, мир! Ёлка ёжик"),
+        (5, "mixed ASCII und Ünïcödé tokens_with_underscore"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for cfg in ("simple", "english", "ascii"):
+        jvm = {}
+        for r in spark_token_table(df, "doc_id", "text", cfg).collect():
+            jvm.setdefault(r["doc_id"], {})[r["term"]] = r["tf"]
+        for did, t in texts:
+            assert tokenize(t, cfg) == jvm.get(did, {}), (cfg, did)
