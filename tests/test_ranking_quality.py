@@ -93,3 +93,31 @@ def test_empty_doc_counts_in_corpus_stats(spark, tmp_path):
     assert idx.total_tokens == 4
     res = topk_exhaustive(idx, "hello", 3).collect()
     assert {r["doc_id"] for r in res} == {1, 3}
+
+
+def test_custom_k1_b_options(spark, tmp_path):
+    # k1/b are per-index options (reference: handler.c:129-150); verify
+    # a non-default build against the closed-form formula
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"), (3, "banana date")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "kb")
+    k1, b = 0.9, 0.4
+    build_index(spark, docs, d, config="ascii", n_buckets=2, k1=k1, b=b)
+    idx = BM25Index(spark, d)
+    assert (idx.k1, idx.b) == (k1, b)
+    res = topk_exhaustive(idx, "apple", 3).collect()
+    # hand-computed: N=3, df(apple)=2, avgdl=7/3; dl quantized == raw here
+    idf = math.log1p((3 - 2 + 0.5) / (2 + 0.5))
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / (7 / 3)))
+    want = sorted(
+        [(1, score(2, 3)), (2, score(1, 2))], key=lambda x: -x[1]
+    )
+    got = [(r["doc_id"], r["score"]) for r in res]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-9
