@@ -27,6 +27,7 @@ Scoring arithmetic is float32 like the reference's index scan
 from __future__ import annotations
 
 import heapq
+import math
 
 import numpy as np
 import pandas as pd
@@ -35,6 +36,7 @@ from pyspark.sql import functions as F
 
 from pg_textsearch_spark.functions.bm25 import bm25_term_score32
 from pg_textsearch_spark.functions.fieldnorm import FIELDNORM_DECODE_TABLE
+from pg_textsearch_spark.functions.tokenizer import tokenize_query
 from pg_textsearch_spark.index.codec import decompress_block
 
 
@@ -132,10 +134,15 @@ class _TopK:
     Tie-break: equal scores -> lower doc_id wins (reference:
     bmw.c:105-122,301-319) — hence -doc_id in the heap key so the
     *higher* doc_id is evicted first.
+
+    ``floor`` is an externally-proven lower bound on the global k-th
+    best score (the two-phase bootstrap): runs skip blocks below it
+    from the first posting instead of warming up a local threshold.
     """
 
-    def __init__(self, k: int):
+    def __init__(self, k: int, floor: float = -1.0):
         self.k = k
+        self.floor = floor
         self.heap: list[tuple[float, int]] = []
 
     def push(self, score: float, doc_id: int) -> None:
@@ -147,19 +154,23 @@ class _TopK:
 
     @property
     def threshold(self) -> float:
-        return self.heap[0][0] if len(self.heap) >= self.k else -1.0
+        local = self.heap[0][0] if len(self.heap) >= self.k else -1.0
+        return max(local, self.floor)
 
     def rows(self):
         return [(-nd, s) for s, nd in self.heap]
 
 
 def _score_single_term(
-    cursors: list[_Cursor], k: int, dead: set[int] | None = None
+    cursors: list[_Cursor],
+    k: int,
+    dead: set[int] | None = None,
+    floor: float = -1.0,
 ) -> list[tuple[int, float]]:
     """Single-term BMW: visit blocks in descending upper-bound order,
     stop when the best remaining block can't beat the threshold
     (reference: tp_score_single_term_bmw, bmw.c:469-642)."""
-    topk = _TopK(k)
+    topk = _TopK(k, floor)
     blocks = []
     for c in cursors:
         for bi in range(len(c.payloads)):
@@ -185,10 +196,13 @@ def _score_single_term(
 
 
 def _score_wand(
-    cursors: list[_Cursor], k: int, dead: set[int] | None = None
+    cursors: list[_Cursor],
+    k: int,
+    dead: set[int] | None = None,
+    floor: float = -1.0,
 ) -> list[tuple[int, float]]:
     """Multi-term Block-Max WAND (reference: bmw.c:1476-1716)."""
-    topk = _TopK(k)
+    topk = _TopK(k, floor)
     cursors = [c for c in cursors if c.alive]
     while True:
         cursors = [c for c in cursors if c.alive]
@@ -246,7 +260,93 @@ def _score_wand(
     return topk.rows()
 
 
-def topk_bmw(index, query: str, k: int = 10) -> DataFrame:
+def _bootstrap_floor(pruned, wmap, k, k1, b, avgdl) -> float:
+    """Two-phase global threshold (distributed analog of the
+    reference's single shared heap, bmw.c:31-357): collect the block
+    skip metadata of the pruned postings (tiny — one row per
+    (term, run)), pick the rows with the highest block upper bounds
+    until they cover >= k docs, decode just those rows driver-side,
+    and take the k-th best *single-term* score. Every such score is a
+    lower bound on its doc's true total, so the k-th best is a valid
+    global floor; runs then skip blocks below it immediately instead
+    of warming a local threshold from zero. Returned two f32 ulps low
+    so boundary ties are never pruned."""
+    from pyspark.sql import functions as F2
+
+    # phase 1: skip metadata only — payloads stay on the executors
+    meta = pruned.select(
+        "term",
+        "run",
+        F2.expr(
+            "transform(blocks, b -> struct(b.block_max_tf as tf, "
+            "b.block_max_norm as fn, b.doc_count as n))"
+        ).alias("m"),
+    ).collect()
+    if not meta:
+        return -1.0
+    ranked = []
+    for row in meta:
+        w = np.float32(wmap[row["term"]])
+        bmt = np.asarray([blk["tf"] for blk in row["m"]], dtype=np.int64)
+        bmn = np.asarray([blk["fn"] for blk in row["m"]], dtype=np.int64)
+        uppers = bm25_term_score32(
+            bmt, FIELDNORM_DECODE_TABLE[bmn], np.float32(1.0), avgdl, k1, b
+        ) * w
+        ndocs = int(sum(blk["n"] for blk in row["m"]))
+        ranked.append((float(uppers.max()), row["term"], int(row["run"]), ndocs))
+    ranked.sort(key=lambda t: -t[0])
+    chosen, covered = [], 0
+    for _upper, term, run_, ndocs in ranked:
+        chosen.append((term, run_))
+        covered += ndocs
+        if covered >= k:
+            break
+    # phase 2: fetch + decode only the chosen rows (a handful)
+    cond = None
+    for term, run_ in chosen:
+        c = (F2.col("term") == term) & (F2.col("run") == run_)
+        cond = c if cond is None else (cond | c)
+    rows = pruned.filter(cond).select("term", "blocks").collect()
+    scores = []
+    for row in rows:
+        w = np.float32(wmap[row["term"]])
+        ids, tfs, fns = decode_blocks_list(row["blocks"])
+        s = bm25_term_score32(
+            tfs, FIELDNORM_DECODE_TABLE[fns.astype(np.int64)],
+            np.float32(1.0), avgdl, k1, b,
+        ) * w
+        scores.append(s)
+    if not scores:
+        return -1.0
+    allscores = np.concatenate(scores)
+    if len(allscores) < k:
+        return -1.0
+    kth = float(np.partition(allscores, len(allscores) - k)[len(allscores) - k])
+    return float(np.nextafter(np.nextafter(np.float32(kth), np.float32(-1)),
+                              np.float32(-1)))
+
+
+def decode_blocks_list(blocks):
+    """Decode a collected row's blocks (list of Rows) -> numpy arrays."""
+    parts = [decompress_block(bytes(b["payload"])) for b in blocks]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )
+
+
+#: bootstrap only pays when decode work dominates the two extra driver
+#: round-trips it costs. Measured on a 1M-doc local index the
+#: round-trips (~0.35s) exceed the decode savings, so the auto rule
+#: only enables it for posting volumes where block decode is the
+#: bottleneck (cluster-scale head terms); pass bootstrap=True to force.
+BOOTSTRAP_MIN_POSTINGS = 10_000_000
+
+
+def topk_bmw(
+    index, query: str, k: int = 10, bootstrap: bool | None = None
+) -> DataFrame:
     """Distributed BMW top-k. Same result contract as topk_exhaustive
     (rank, doc_id, score) — float32 arithmetic, so scores match
     exhaustive-float64 within the reference's own 1e-3 tolerance and
@@ -254,9 +354,18 @@ def topk_bmw(index, query: str, k: int = 10) -> DataFrame:
     from pyspark.sql import Window
 
     spark = index.spark
-    weights = index.query_weights(query)
+    qtf = tokenize_query(query, index.config)
+    dfs = index.term_dfs(list(qtf)) if qtf else {}
+    weights = {}
+    n = index.num_docs
+    for term, qf in qtf.items():
+        df = dfs.get(term, 0)
+        if df:
+            weights[term] = (math.log1p((n - df + 0.5) / (df + 0.5)), qf)
     if not weights:
         return spark.createDataFrame([], "rank int, doc_id bigint, score double")
+    if bootstrap is None:
+        bootstrap = sum(dfs.values()) >= BOOTSTRAP_MIN_POSTINGS
     k1, b, avgdl = index.k1, index.b, index.avgdl
     wmap = {t: float(idf) * int(qf) for t, (idf, qf) in weights.items()}
     single = len(wmap) == 1
@@ -272,6 +381,12 @@ def topk_bmw(index, query: str, k: int = 10) -> DataFrame:
 
     pruned = index.pruned_postings(list(wmap)).select("term", "run", "blocks")
 
+    floor = -1.0
+    if bootstrap and dead_all is None:
+        # deletes would make bootstrap scores unsafe bounds (a dead doc
+        # could hold the k-th slot) — skip bootstrap under deletes
+        floor = _bootstrap_floor(pruned, wmap, kk, k1, b, avgdl)
+
     def score_run(pdf: pd.DataFrame) -> pd.DataFrame:
         cursors = [
             _Cursor(row.blocks, wmap[row.term], k1, b, avgdl)
@@ -281,9 +396,9 @@ def topk_bmw(index, query: str, k: int = 10) -> DataFrame:
         if not cursors:
             return pd.DataFrame({"doc_id": [], "score": []})
         rows = (
-            _score_single_term(cursors, kk, dead_all)
+            _score_single_term(cursors, kk, dead_all, floor)
             if single
-            else _score_wand(cursors, kk, dead_all)
+            else _score_wand(cursors, kk, dead_all, floor)
         )
         return pd.DataFrame(
             {

@@ -102,3 +102,16 @@ def test_testdata_documents_parity(spark, tmp_path_factory):
     for q in ["spark query table", "window", "join join merge",
               "stream batch filter sort"]:
         _assert_parity(idx, q, k=10)
+
+
+@pytest.mark.parametrize("query,k", [
+    ("w0", 10), ("w0 w3", 10), ("w1 w7 w20", 5), ("w0 w1 w2 w3", 25),
+])
+def test_bootstrap_parity(zipf_index, query, k):
+    # force the two-phase global-threshold bootstrap on a small corpus
+    # and require identical results to exhaustive
+    exh = topk_exhaustive(zipf_index, query, k).collect()
+    bst = topk_bmw(zipf_index, query, k, bootstrap=True).collect()
+    assert len(exh) == len(bst)
+    for e, w in zip(exh, bst):
+        assert abs(e["score"] - w["score"]) <= 1e-3, (e, w)
