@@ -387,6 +387,38 @@ SELECT doc_id, term, tf::INT AS tf FROM tf WHERE doc_id < 50
 """
 
 
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: per-lang counts + best score over ALL docs
+    matching any query term. The reference delegates faceting to plain
+    SQL around the index scan (README.md:509-529); here the relational
+    layer composes directly with the scoring DataFrame."""
+    from pg_textsearch_spark.operators.score_expr import score_texts
+
+    docs = documents(spark, sf_dir)
+    scores = score_texts(docs, QUERY_MULTI, config=CONFIG)
+    return (
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            # round before max: the oracle's CTE carries 4dp scores
+            F.round(F.max(F.round("score", 4)), 4).alias("best_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+def search_facets_oracle_sql(query: str) -> str:
+    inner = score_texts_oracle_sql(query)
+    return f"""
+WITH scored AS ({inner})
+SELECT d.lang, count(*)::BIGINT AS n_hits,
+       round(max(s.score), 4) AS best_score
+FROM scored s JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end over the north-rule input shape (rows-only check):
     synthetic pages(url, warc_ts, html, text, lang) -> extract_text(html)
@@ -589,6 +621,7 @@ def harness_queries() -> dict:
         "knn_cosine_topk": q_knn_topk,
         "knn_ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
+        "search_facets": q_search_facets,
         "pages_e2e_pipeline": q_pages_pipeline,
     }
 
@@ -614,4 +647,5 @@ def harness_oracle_sql() -> dict:
         "dedup_embedding_cosine": embedding_neardup_oracle_sql(0.35),
         "knn_cosine_topk": knn_oracle_sql(10, 5),
         "text_stats": text_stats_oracle_sql(),
+        "search_facets": search_facets_oracle_sql(QUERY_MULTI),
     }
