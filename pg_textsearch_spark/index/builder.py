@@ -300,7 +300,12 @@ class IndexWriter:
         analog)."""
         seg_dir = os.path.join(self.index_dir, "postings", f"seg={seg_id}")
         out_dir = os.path.join(self.index_dir, "dictionary", f"seg={seg_id}")
-        p = spark.read.parquet(seg_dir)  # column-pruned: term/bucket/df_run
+        # explicit schema: empty segments have no parquet footers
+        p = spark.read.schema(
+            "term string, run bigint, df_run bigint, blocks "
+            "array<struct<last_doc_id:bigint,doc_count:int,block_max_tf:int,"
+            "block_max_norm:int,payload:binary>>, bucket int"
+        ).option("basePath", seg_dir).parquet(seg_dir)
         (
             p.groupBy("term", "bucket")
             .agg(F.sum("df_run").cast("long").alias("df"))
@@ -327,7 +332,9 @@ class IndexWriter:
         )
         spark = postings.sparkSession
         self.write_dictionary(spark, seg_id)
-        stats = spark.read.parquet(os.path.join(base, "doclen", f"seg={seg_id}")).agg(
+        stats = spark.read.schema(
+            "doc_id bigint, doc_len bigint, fieldnorm int"
+        ).parquet(os.path.join(base, "doclen", f"seg={seg_id}")).agg(
             F.count("*").alias("num_docs"),
             F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
             F.coalesce(F.max("doc_id"), F.lit(-1)).alias("max_doc_id"),

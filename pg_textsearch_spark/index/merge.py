@@ -31,7 +31,12 @@ from pg_textsearch_spark.index.builder import (
     postings_from_flat,
     write_postings,
 )
-from pg_textsearch_spark.operators.topk import BM25Index, decode_postings_flat
+from pg_textsearch_spark.operators.topk import (
+    BM25Index,
+    DOCLEN_READ_SCHEMA,
+    POSTINGS_READ_SCHEMA,
+    decode_postings_flat,
+)
 
 MAX_LEVELS = 8  # TP_MAX_LEVELS (reference: constants.h:74)
 SEGMENTS_PER_LEVEL = 8  # default compaction fan-in (reference: mod.c:256-269)
@@ -58,7 +63,9 @@ def merge_segments(
     n_buckets = index.n_buckets
 
     postings_root = os.path.join(base, "postings")
-    src_postings = spark.read.option("basePath", postings_root).parquet(
+    src_postings = spark.read.schema(POSTINGS_READ_SCHEMA).option(
+        "basePath", postings_root
+    ).parquet(
         *[os.path.join(postings_root, f"seg={sid}") for sid in sorted(seg_set)]
     )
     flat = decode_postings_flat(src_postings)
@@ -70,7 +77,9 @@ def merge_segments(
     merged = postings_from_flat(flat, n_buckets)
 
     doclen_root = os.path.join(base, "doclen")
-    merged_doclen = spark.read.option("basePath", doclen_root).parquet(
+    merged_doclen = spark.read.schema(DOCLEN_READ_SCHEMA).option(
+        "basePath", doclen_root
+    ).parquet(
         *[os.path.join(doclen_root, f"seg={sid}") for sid in sorted(seg_set)]
     ).drop("seg")
     if drop_doc_ids is not None:
@@ -83,7 +92,9 @@ def merge_segments(
     merged_doclen.write.mode("overwrite").parquet(
         os.path.join(doclen_root, f"seg={new_seg_id}")
     )
-    stats = spark.read.parquet(os.path.join(doclen_root, f"seg={new_seg_id}")).agg(
+    stats = spark.read.schema(
+        "doc_id bigint, doc_len bigint, fieldnorm int"
+    ).parquet(os.path.join(doclen_root, f"seg={new_seg_id}")).agg(
         F.count("*").alias("num_docs"),
         F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
     ).collect()[0]

@@ -39,6 +39,18 @@ from pg_textsearch_spark.index.builder import term_bucket
 from pg_textsearch_spark.index.codec import decompress_block
 
 
+#: explicit read schemas (incl. partition columns): parquet dirs from
+#: degenerate segments (empty corpus / empty bucket) have no footers to
+#: infer from, and explicit schemas also skip footer-merging overhead
+POSTINGS_READ_SCHEMA = (
+    "term string, run bigint, df_run bigint, blocks "
+    "array<struct<last_doc_id:bigint,doc_count:int,block_max_tf:int,"
+    "block_max_norm:int,payload:binary>>, bucket int, seg int"
+)
+DOCLEN_READ_SCHEMA = "doc_id bigint, doc_len bigint, fieldnorm int, seg int"
+DICT_READ_SCHEMA = "term string, df bigint, bucket int, seg int"
+
+
 class BM25Index:
     """Handle over an on-disk index (manifest + postings + doclen)."""
 
@@ -87,13 +99,17 @@ class BM25Index:
     def postings(self) -> DataFrame:
         # basePath keeps seg/bucket partition columns visible
         root = os.path.join(self.index_dir, "postings")
-        return self.spark.read.option("basePath", root).parquet(
+        return self.spark.read.schema(POSTINGS_READ_SCHEMA).option(
+            "basePath", root
+        ).parquet(
             *[os.path.join(root, f"seg={s['seg_id']}") for s in self.manifest["segments"]]
         )
 
     def doclen(self) -> DataFrame:
         root = os.path.join(self.index_dir, "doclen")
-        return self.spark.read.option("basePath", root).parquet(
+        return self.spark.read.schema(DOCLEN_READ_SCHEMA).option(
+            "basePath", root
+        ).parquet(
             *[os.path.join(root, f"seg={s['seg_id']}") for s in self.manifest["segments"]]
         )
 
@@ -113,7 +129,9 @@ class BM25Index:
 
     def dictionary(self) -> DataFrame:
         root = os.path.join(self.index_dir, "dictionary")
-        return self.spark.read.option("basePath", root).parquet(
+        return self.spark.read.schema(DICT_READ_SCHEMA).option(
+            "basePath", root
+        ).parquet(
             *[os.path.join(root, f"seg={s['seg_id']}") for s in self.manifest["segments"]]
         )
 

@@ -121,3 +121,16 @@ def test_custom_k1_b_options(spark, tmp_path):
     assert [g[0] for g in got] == [w[0] for w in want]
     for g, w in zip(got, want):
         assert abs(g[1] - w[1]) < 1e-9
+
+
+def test_empty_corpus_index(spark, tmp_path):
+    # degenerate but must not crash: build over zero docs, query it
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    d = str(tmp_path / "empty_corpus")
+    build_index(spark, docs, d, config="ascii", n_buckets=4)
+    idx = BM25Index(spark, d)
+    assert idx.num_docs == 0
+    assert topk_exhaustive(idx, "hello", 5).collect() == []
+    from pg_textsearch_spark.operators.bmw import topk_bmw
+
+    assert topk_bmw(idx, "hello", 5).collect() == []
