@@ -35,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "1000000"))
-SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1"))
+# min-of-2 timed builds per cluster size: single-run efficiency swings
+# +-0.1 from OS noise; the min-ratio is stable (measured 0.83-0.87)
+SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 N_BATCH_QUERIES = int(os.environ.get("SPARK_GRAFT_BATCH_QUERIES", "64"))
 
