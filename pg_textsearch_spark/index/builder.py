@@ -391,8 +391,14 @@ def build_index(
     tie-break order).
     """
     if key_col is not None:
-        docs = assign_doc_ids(docs, key_col)
+        # project to the two columns the build touches BEFORE the id
+        # shuffle: assign_doc_ids persists + range-shuffles its input,
+        # which defeats Catalyst column pruning — dragging e.g. the
+        # html binary through that shuffle triples its volume
+        docs = assign_doc_ids(docs.select(key_col, text_col), key_col)
         doc_id_col = "doc_id"
+    else:
+        docs = docs.select(doc_id_col, text_col)
     postings, doclen = build_segment_dataframes(
         docs, doc_id_col, text_col, config, n_buckets
     )

@@ -60,9 +60,10 @@ def insert_batch(
 
     if doc_id_col is None:
         assert key_col is not None, "need doc_id_col or key_col"
-        docs = assign_doc_ids(docs, key_col).withColumn(
-            "doc_id", F.col("doc_id") + F.lit(next_doc)
-        )
+        # slim projection before the id shuffle (see build_index)
+        docs = assign_doc_ids(
+            docs.select(key_col, text_col), key_col
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(next_doc))
         doc_id_col = "doc_id"
 
     # existing manifest wins; args only bootstrap a brand-new index
