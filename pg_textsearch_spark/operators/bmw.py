@@ -16,8 +16,9 @@ tests/test_bmw.py against topk_exhaustive on block-straddling
 fixtures (FIXTURES.md F4).
 
 Distribution model: the reference walks every segment under one heap
-on one node. Here each ``run`` (a disjoint 2^20-doc range, all query
-terms co-located by the shuffle) runs an independent WAND with a
+on one node. Here each ``run`` (a disjoint 2^RUN_SHIFT = 8192-doc
+range, all query terms co-located by the shuffle) runs an independent
+WAND with a
 local heap inside one Arrow batch; the global ORDER BY score DESC,
 doc_id ASC LIMIT k merges run-local top-ks (TakeOrderedAndProject).
 Scoring arithmetic is float32 like the reference's index scan
@@ -260,54 +261,90 @@ def _score_wand(
     return topk.rows()
 
 
-def _bootstrap_floor(pruned, wmap, k, k1, b, avgdl) -> float:
-    """Two-phase global threshold (distributed analog of the
-    reference's single shared heap, bmw.c:31-357): collect the block
-    skip metadata of the pruned postings (tiny — one row per
-    (term, run)), pick the rows with the highest block upper bounds
-    until they cover >= k docs, decode just those rows driver-side,
-    and take the k-th best *single-term* score. Every such score is a
-    lower bound on its doc's true total, so the k-th best is a valid
-    global floor; runs then skip blocks below it immediately instead
-    of warming a local threshold from zero. Returned two f32 ulps low
-    so boundary ties are never pruned."""
+#: separator for the phase-2 (term, run) fetch key — never appears in
+#: tokens (the tokenizer strips control characters)
+_KEY_SEP = "\x1f"
+
+
+def _bootstrap_floor(pruned, wmap, k, k1, b, avgdl, stats=None) -> float:
+    """Two-phase global score threshold (distributed analog of the
+    reference's single shared top-k heap, bmw.c:31-357).
+
+    Phase 1 runs entirely on the executors: per (term, run) row compute
+    the max block upper bound (BM25 of block_max_tf at the block's min
+    fieldnorm, times the term weight) and the row's doc count as plain
+    column expressions over the skip metadata — payloads untouched —
+    then ``ORDER BY upper DESC LIMIT k*|terms|``. Only those O(k)
+    scalar rows reach the driver, never one row per (term, run): a
+    head term with millions of runs collects the same handful of rows
+    as a small index.
+
+    Phase 2 fetches + decodes just the chosen rows, then sums the
+    single-term partial scores **per doc_id** before taking the k-th
+    best. Each per-doc partial sum is a lower bound on that doc's true
+    total (absent terms contribute >= 0), so the k-th best over >= k
+    *distinct* docs is a valid global floor. Grouping by doc is
+    essential: the k-th best over the raw multiset of per-(term, doc)
+    partials counts a multi-term doc once per term and can exceed the
+    true k-th document total, pruning valid results.
+
+    The prefix of fetched rows is extended until it covers
+    ``k * |terms|`` postings — a doc appears at most once per term, so
+    that guarantees >= k distinct docs whenever the index has them.
+
+    The floor is returned shaved by a small relative guard (a few
+    dozen f32 ulps) so float32 summation-order differences in the WAND
+    kernel can never round a true top-k doc below it.
+    """
     from pyspark.sql import functions as F2
 
-    # phase 1: skip metadata only — payloads stay on the executors
-    meta = pruned.select(
-        "term",
-        "run",
-        F2.expr(
-            "transform(blocks, b -> struct(b.block_max_tf as tf, "
-            "b.block_max_norm as fn, b.doc_count as n))"
-        ).alias("m"),
-    ).collect()
-    if not meta:
+    n_terms = max(len(wmap), 1)
+    needed_rows = k * n_terms  # each row holds >= 1 doc
+    table = F2.array(*[F2.lit(float(v)) for v in FIELDNORM_DECODE_TABLE])
+    weight = F2.create_map(
+        *[x for t, w in wmap.items() for x in (F2.lit(t), F2.lit(float(w)))]
+    )[F2.col("term")]
+
+    def _blk_upper(blk):
+        tf = blk["block_max_tf"].cast("double")
+        dl = F2.element_at(table, blk["block_max_norm"] + 1)
+        return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    # phase 1: executor-side aggregate over skip metadata only
+    meta_rows = (
+        pruned.select(
+            "term",
+            "run",
+            (weight * F2.array_max(F2.transform("blocks", _blk_upper))).alias(
+                "upper"
+            ),
+            F2.aggregate(
+                F2.transform("blocks", lambda blk: blk["doc_count"]),
+                F2.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("ndocs"),
+        )
+        .orderBy(F2.desc("upper"))
+        .limit(needed_rows)
+        .collect()
+    )
+    if stats is not None:
+        stats["phase1_rows"] = len(meta_rows)
+    if not meta_rows:
         return -1.0
-    ranked = []
-    for row in meta:
-        w = np.float32(wmap[row["term"]])
-        bmt = np.asarray([blk["tf"] for blk in row["m"]], dtype=np.int64)
-        bmn = np.asarray([blk["fn"] for blk in row["m"]], dtype=np.int64)
-        uppers = bm25_term_score32(
-            bmt, FIELDNORM_DECODE_TABLE[bmn], np.float32(1.0), avgdl, k1, b
-        ) * w
-        ndocs = int(sum(blk["n"] for blk in row["m"]))
-        ranked.append((float(uppers.max()), row["term"], int(row["run"]), ndocs))
-    ranked.sort(key=lambda t: -t[0])
     chosen, covered = [], 0
-    for _upper, term, run_, ndocs in ranked:
-        chosen.append((term, run_))
-        covered += ndocs
-        if covered >= k:
+    for r in meta_rows:
+        chosen.append(f"{r['term']}{_KEY_SEP}{int(r['run'])}")
+        covered += int(r["ndocs"])
+        if covered >= needed_rows:
             break
-    # phase 2: fetch + decode only the chosen rows (a handful)
-    cond = None
-    for term, run_ in chosen:
-        c = (F2.col("term") == term) & (F2.col("run") == run_)
-        cond = c if cond is None else (cond | c)
-    rows = pruned.filter(cond).select("term", "blocks").collect()
-    scores = []
+    if stats is not None:
+        stats["phase2_rows"] = len(chosen)
+
+    # phase 2: fetch + decode only the chosen rows (single IN predicate)
+    key = F2.concat_ws(_KEY_SEP, F2.col("term"), F2.col("run").cast("string"))
+    rows = pruned.filter(key.isin(chosen)).select("term", "blocks").collect()
+    by_doc: dict[int, float] = {}
     for row in rows:
         w = np.float32(wmap[row["term"]])
         ids, tfs, fns = decode_blocks_list(row["blocks"])
@@ -315,15 +352,14 @@ def _bootstrap_floor(pruned, wmap, k, k1, b, avgdl) -> float:
             tfs, FIELDNORM_DECODE_TABLE[fns.astype(np.int64)],
             np.float32(1.0), avgdl, k1, b,
         ) * w
-        scores.append(s)
-    if not scores:
-        return -1.0
-    allscores = np.concatenate(scores)
-    if len(allscores) < k:
-        return -1.0
-    kth = float(np.partition(allscores, len(allscores) - k)[len(allscores) - k])
-    return float(np.nextafter(np.nextafter(np.float32(kth), np.float32(-1)),
-                              np.float32(-1)))
+        for d, sc in zip(ids.tolist(), s.astype(np.float64).tolist()):
+            by_doc[d] = by_doc.get(d, 0.0) + sc
+    if len(by_doc) < k:
+        return -1.0  # fewer than k distinct docs proven — no safe floor
+    partials = np.asarray(list(by_doc.values()), dtype=np.float64)
+    kth = float(np.partition(partials, len(partials) - k)[len(partials) - k])
+    # relative guard: > 32 f32 ulps, covers f32 summation-order drift
+    return float(np.float32(kth) * (1.0 - 4e-6)) if kth > 0 else -1.0
 
 
 def decode_blocks_list(blocks):
@@ -345,7 +381,11 @@ BOOTSTRAP_MIN_POSTINGS = 10_000_000
 
 
 def topk_bmw(
-    index, query: str, k: int = 10, bootstrap: bool | None = None
+    index,
+    query: str,
+    k: int = 10,
+    bootstrap: bool | None = None,
+    _bootstrap_stats: dict | None = None,
 ) -> DataFrame:
     """Distributed BMW top-k. Same result contract as topk_exhaustive
     (rank, doc_id, score) — float32 arithmetic, so scores match
@@ -385,7 +425,9 @@ def topk_bmw(
     if bootstrap and dead_all is None:
         # deletes would make bootstrap scores unsafe bounds (a dead doc
         # could hold the k-th slot) — skip bootstrap under deletes
-        floor = _bootstrap_floor(pruned, wmap, kk, k1, b, avgdl)
+        floor = _bootstrap_floor(
+            pruned, wmap, kk, k1, b, avgdl, stats=_bootstrap_stats
+        )
 
     def score_run(pdf: pd.DataFrame) -> pd.DataFrame:
         cursors = [

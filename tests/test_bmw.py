@@ -115,3 +115,42 @@ def test_bootstrap_parity(zipf_index, query, k):
     assert len(exh) == len(bst)
     for e, w in zip(exh, bst):
         assert abs(e["score"] - w["score"]) <= 1e-3, (e, w)
+
+
+def test_bootstrap_floor_groups_by_doc(spark, tmp_path_factory):
+    # regression (round-1 advice): doc 0 matches BOTH query terms and
+    # spans runs vs doc 8192. A floor taken over ungrouped per-(term,
+    # doc) partials counts doc 0 once per term, exceeds the true 2nd
+    # best document total, and WAND then prunes doc 8192 — k=2 must
+    # return BOTH docs.
+    path = str(tmp_path_factory.mktemp("bstrap") / "idx")
+    idx = _build(
+        spark,
+        [(0, "alpha beta beta beta"), (8192, "beta")],
+        path,
+    )
+    exh = topk_exhaustive(idx, "alpha beta", k=2).collect()
+    bst = topk_bmw(idx, "alpha beta", k=2, bootstrap=True).collect()
+    assert len(exh) == 2
+    assert len(bst) == 2, bst
+    assert {r["doc_id"] for r in bst} == {0, 8192}
+    for e, w in zip(exh, bst):
+        assert abs(e["score"] - w["score"]) <= 1e-3, (e, w)
+
+
+def test_bootstrap_collect_is_bounded_by_k(spark, tmp_path_factory):
+    # phase 1 must collect O(k * |terms|) scalar rows, not one row per
+    # (term, run): 60 docs spaced one per run -> 60 (term, run) rows in
+    # the index, but k=3 single-term bootstrap may only pull k*1 = 3.
+    path = str(tmp_path_factory.mktemp("manyrun") / "idx")
+    rows = [(i * 8192, f"common word{i}") for i in range(60)]
+    idx = _build(spark, rows, path)
+    stats = {}
+    k = 3
+    bst = topk_bmw(
+        idx, "common", k=k, bootstrap=True, _bootstrap_stats=stats
+    ).collect()
+    exh = topk_exhaustive(idx, "common", k=k).collect()
+    assert stats["phase1_rows"] <= k, stats
+    assert stats["phase2_rows"] <= k, stats
+    assert [r["doc_id"] for r in bst] == [r["doc_id"] for r in exh]
