@@ -278,11 +278,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(documents(spark, sf_dir))
 
 
+#: hot-shingle df cap for the gated jaccard query — mirrored exactly in
+#: the oracle SQL (both sides drop shingles with df > cap)
+JACCARD_MAX_SHINGLE_DF = 50
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_textsearch_spark.operators.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
-        documents(spark, sf_dir), n=3, threshold=0.1
+        documents(spark, sf_dir), n=3, threshold=0.1,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
     )
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
@@ -312,7 +318,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_textsearch_spark.operators.dedup import embedding_neardup_pairs
 
     pairs = embedding_neardup_pairs(
-        embeddings(spark, sf_dir), threshold=0.35
+        embeddings(spark, sf_dir), threshold=0.35, exact=True
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH blocked variant (the 100 TB path): sub-quadratic
+    candidate generation, exact rescore. Recall < 1 by construction ->
+    rows-only driver check; recall pinned vs exact by pytest."""
+    from pg_textsearch_spark.operators.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(
+        embeddings(spark, sf_dir), threshold=0.35, exact=False,
+        n_bits=16, bands=8,
     )
     return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
 
@@ -492,13 +511,25 @@ def dedup_exact_oracle_sql() -> str:
     )
 
 
-def ngram_jaccard_oracle_sql(threshold: float = 0.1) -> str:
+def ngram_jaccard_oracle_sql(
+    threshold: float = 0.1, max_shingle_df: int | None = None
+) -> str:
+    # the df cap is part of the operator contract: both sides drop
+    # shingles with df > cap before intersection AND union
+    cap_cte = (
+        f"shk AS (SELECT sh.* FROM sh JOIN (SELECT shingle FROM sh "
+        f"GROUP BY shingle HAVING count(*) <= {max_shingle_df}) k "
+        f"USING (shingle))"
+        if max_shingle_df is not None
+        else "shk AS (SELECT * FROM sh)"
+    )
     return f"""
 WITH {_SHINGLE_CTE},
-sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1),
+{cap_cte},
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM shk GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
-  FROM sh a JOIN sh b USING (shingle)
+  FROM shk a JOIN shk b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -618,6 +649,7 @@ def harness_queries() -> dict:
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash,
         "dedup_embedding_cosine": q_embedding_neardup,
+        "dedup_embedding_lsh": q_embedding_neardup_lsh,
         "knn_cosine_topk": q_knn_topk,
         "knn_ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
@@ -643,7 +675,9 @@ def harness_oracle_sql() -> dict:
         "tokenize_tf": tokenize_tf_oracle_sql(),
         "bm25_topk_resolve": topk_resolve_oracle_sql(QUERY_MULTI),
         "dedup_exact": dedup_exact_oracle_sql(),
-        "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(0.1),
+        "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(
+            0.1, JACCARD_MAX_SHINGLE_DF
+        ),
         "dedup_embedding_cosine": embedding_neardup_oracle_sql(0.35),
         "knn_cosine_topk": knn_oracle_sql(10, 5),
         "text_stats": text_stats_oracle_sql(),

@@ -12,9 +12,13 @@ Postgres; SURVEY.md §2.9) — these are the companion operators a
 
 Scale notes: every operator is expressed as joins/aggregations over
 exploded feature tables (shingles, bands, hamming blocks) — never a
-cross join. The pairwise stages only touch documents sharing a
-feature, which is the standard web-scale shape (band buckets bound
-the quadratic term).
+nested-loop/cartesian plan (plan-asserted in tests). The pairwise
+stages only touch documents sharing a feature, which is the standard
+web-scale shape (band buckets bound the quadratic term). The one
+intentionally-O(n^2) operator is ``embedding_neardup_pairs(exact=
+True)`` — exact cosine verification is all-pairs by definition — and
+it runs as a block-grid equi-join, not a nested loop; its scale
+companion is ``exact=False`` (sign-LSH banding).
 
 All hashing is counter-based splitmix64 (same kernel as
 sources/pages.py) so results are deterministic and reproducible in
@@ -40,11 +44,20 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """Group identical texts; keep the lowest id as canonical.
 
     -> (doc_id, dup_count): one row per distinct text, doc_id = min id.
-    The groupBy shuffles a 64-bit hash + min(id), not the text bodies,
-    once Tungsten's partial aggregation kicks in.
+
+    The shuffle key is (xxhash64(text), length(text)) — 12 bytes — not
+    the text body: grouping on the raw text ships every distinct body
+    across the wire as a key, which dominates the shuffle at corpus
+    scale. 64-bit hash + exact length makes false merges vanishingly
+    rare (birthday bound n^2 / 2^65 over equal-length docs); pipelines
+    that need certainty can re-verify within dup groups (dup_count > 1
+    rows are a tiny fraction) by regrouping just those docs on text.
     """
     return (
-        df.groupBy(F.col(text_col))
+        df.groupBy(
+            F.xxhash64(F.col(text_col)).alias("_h"),
+            F.length(F.col(text_col)).alias("_len"),
+        )
         .agg(
             F.min(id_col).alias(id_col),
             F.count("*").cast("long").alias("dup_count"),
@@ -81,15 +94,32 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram shingle sets, pairs >= threshold.
+    """Jaccard over word n-gram shingle sets, pairs >= threshold.
 
     Only docs sharing at least one shingle are ever paired (self-join
     on shingle), so cost is sum over shingles of bucket^2 — the
     standard candidate-pair bound, not |docs|^2.
+
+    ``max_shingle_df`` caps that quadratic term: shingles present in
+    more than this many docs (boilerplate headers, nav chrome — the
+    buckets whose bucket^2 goes quadratic on real web text) are dropped
+    from the feature set entirely (both intersection and union), the
+    standard web-scale practice. Pairs whose overlap was only
+    boilerplate disappear; Jaccard for surviving pairs is computed over
+    the capped shingle sets. None = no cap (exact Jaccard).
     -> (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     sh = shingle_table(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -313,33 +343,77 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int = 16,
+    bands: int = 4,
     seed: int = 3,
     exact: bool = True,
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Cosine-similarity pairs >= threshold.
-
-    exact=True: block by sign-LSH sketch but verify every candidate —
-    with all 2^n_bits bucket probes replaced by a plain self-join on
-    the sketch it is approximate; for the oracle-gated exact variant we
-    join on a coarse length bucket instead (recall 1.0, still avoids
-    the full cross join for clustered data).
     -> (vec_a, vec_b, cos) with vec_a < vec_b, float64 math.
+
+    exact=True (the oracle-gated verifier): recall-1.0 all-pairs
+    verification, distributed as a block-grid equi-join — each vector
+    hashes into one of ``n_blocks`` blocks, each side is replicated
+    across its grid row/column, and the join key is the (block_i,
+    block_j) cell. Total compute is inherently O(n^2) (that is what
+    exact near-dup *is*), but the plan is a hash-partitioned equi-join
+    with n_blocks^2 independent cells — never a BroadcastNestedLoopJoin
+    or CartesianProduct, bounded per-task memory, parallel across the
+    cluster. Use it as the per-cluster verifier or at validation scale.
+
+    exact=False (the 100 TB path): sign-LSH banding — ``n_bits`` random
+    hyperplane signs (same sketch as operators/knn.py), split into
+    ``bands`` bands; only vectors agreeing on at least one full band
+    are candidates, and every candidate is exact-rescored in float64.
+    Sub-quadratic; recall < 1 by construction (pytest-pinned vs the
+    exact path).
     """
-    dim_norm = F.sqrt(
+    nrm = F.sqrt(
         F.aggregate(vec_col, F.lit(0.0),
                     lambda a, x: a + x.cast("double") * x.cast("double"))
     )
     e = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
-        dim_norm.alias("nrm"),
+        nrm.alias("nrm"),
     )
-    a = e.select(F.col("vid").alias("vec_a"), F.col("v").alias("v_a"),
-                 F.col("nrm").alias("n_a"))
-    b = e.select(F.col("vid").alias("vec_b"), F.col("v").alias("v_b"),
-                 F.col("nrm").alias("n_b"))
-    cand = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    if exact:
+        blk = F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int")
+        grid = F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+        a = e.select(F.col("vid").alias("vec_a"), F.col("v").alias("v_a"),
+                     F.col("nrm").alias("n_a"), blk.alias("bi"),
+                     grid.alias("bj"))
+        b = e.select(F.col("vid").alias("vec_b"), F.col("v").alias("v_b"),
+                     F.col("nrm").alias("n_b"), grid.alias("bi"),
+                     blk.alias("bj"))
+        cand = a.join(b, ["bi", "bj"]).filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        from pg_textsearch_spark.operators.knn import _sketch_expr
+
+        width = n_bits // bands
+        mask = (1 << width) - 1
+        banded = e.withColumn("sk", _sketch_expr("v", n_bits, seed)).select(
+            "vid", "v", "nrm",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.shiftrightunsigned(F.col("sk"), bi * width)
+                    .bitwiseAND(F.lit(mask)).alias("bits"),
+                )
+                for bi in range(bands)
+            ])).alias("b"),
+        ).select("vid", "v", "nrm", "b.band", "b.bits")
+        a = banded.select(F.col("vid").alias("vec_a"), F.col("v").alias("v_a"),
+                          F.col("nrm").alias("n_a"), "band", "bits")
+        b = banded.select(F.col("vid").alias("vec_b"), F.col("v").alias("v_b"),
+                          F.col("nrm").alias("n_b"), "band", "bits")
+        cand = (
+            a.join(b, ["band", "bits"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "v_a", "n_a", "vec_b", "v_b", "n_b")
+            .distinct()
+        )
     dot = F.aggregate(
         F.zip_with("v_a", "v_b", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -17,11 +17,8 @@ mirrors that: same scoring expression, different candidate generator.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from pg_textsearch_spark.sources.pages import _splitmix64
 
 
 def _cos_expr(va, vb, na, nb):
@@ -76,23 +73,24 @@ def knn_bruteforce(
     )
 
 
-def _sketch_expr(vec_col, n_bits: int, seed: int, dim: int):
+def _sketch_expr(vec_col, n_bits: int, seed: int):
     """Sign sketch: bit i = sign(dot(v, h_i)) for deterministic
-    pseudo-random hyperplanes h_i (splitmix64-derived +-1 entries)."""
-    planes = []
-    for i in range(n_bits):
-        idx = np.arange(dim, dtype=np.uint64)
-        bits = (
-            _splitmix64(idx ^ np.uint64((seed << 8) | (i + 1))) >> np.uint64(63)
-        ).astype(np.int64)
-        planes.append((bits * 2 - 1).astype(np.float64))  # +-1
+    pseudo-random hyperplanes h_i with +-1 entries derived JVM-side
+    from xxhash64(seed, i, element_index). No per-element plan
+    literals (a dim x n_bits literal array bloats the plan at high
+    embedding dim) and no driver-side dim probe — the index array
+    comes from ``sequence(0, size(v)-1)`` per row."""
+    idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+
+    def _signed(i):
+        return lambda x, j: x.cast("double") * (
+            F.pmod(F.xxhash64(F.lit(int(seed)), F.lit(i), j), F.lit(2)) * 2 - 1
+        ).cast("double")
+
     sketch = F.lit(0).cast("long")
-    for i, h in enumerate(planes):
-        harr = F.array(*[F.lit(float(x)) for x in h])
+    for i in range(n_bits):
         dot = F.aggregate(
-            F.zip_with(vec_col, harr, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda a, v: a + v,
+            F.zip_with(vec_col, idx, _signed(i)), F.lit(0.0), lambda a, v: a + v
         )
         sketch = sketch + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return sketch
@@ -116,12 +114,11 @@ def ann_lsh_topk(
     bands with the query; candidates are exact-rescored. At corpus
     scale the band join replaces the full scan with bucket-local work.
     """
-    dim = len(emb.select(vec_col).first()[0])
     width = n_bits // bands
     mask = (1 << width) - 1
 
     def banded(df, idc, vc, prefix):
-        s = _sketch_expr(vc, n_bits, seed, dim)
+        s = _sketch_expr(vc, n_bits, seed)
         d = df.select(
             F.col(idc).alias(f"{prefix}_id"),
             F.col(vc).alias(f"{prefix}_v"),

@@ -37,6 +37,17 @@ def assert_partition_filter(df: DataFrame, fragment: str) -> None:
     )
 
 
+def assert_no_nested_loop(df: DataFrame) -> None:
+    """The O(n^2)-plan tripwire: no BroadcastNestedLoopJoin and no
+    CartesianProduct anywhere in the physical plan. Every pairwise
+    operator (dedup, near-dup, knn candidate generation) must be an
+    equi-join on a blocking key — a nested-loop plan passes small-scale
+    gates and detonates on a real corpus."""
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def assert_broadcast_join(df: DataFrame) -> None:
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan

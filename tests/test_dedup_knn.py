@@ -72,6 +72,93 @@ def test_simhash_identical_docs_equal_hash(dup_corpus):
     assert (0, 80, 0) in pairs and (1, 81, 0) in pairs
 
 
+def test_dedup_exact_shuffles_hash_not_text(dup_corpus):
+    from pg_textsearch_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(dedup_exact(dup_corpus))
+    # the aggregation key must be the 64-bit hash + length, not the body
+    assert "xxhash64" in plan, plan
+
+
+def test_embedding_neardup_plans_have_no_nested_loop(spark):
+    from pg_textsearch_spark.operators.dedup import embedding_neardup_pairs
+    from pg_textsearch_spark.plans.explain import assert_no_nested_loop
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert_no_nested_loop(
+        embedding_neardup_pairs(emb, threshold=0.3, exact=True)
+    )
+    assert_no_nested_loop(
+        embedding_neardup_pairs(emb, threshold=0.3, exact=False)
+    )
+
+
+def test_embedding_neardup_exact_blockgrid_is_allpairs(spark):
+    # the block-grid equi-join must enumerate exactly the same pairs as
+    # the mathematical all-pairs definition (numpy oracle)
+    from pg_textsearch_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.3, exact=True, n_blocks=7
+        ).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    m = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    want = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            a, b = ids[i], ids[j]
+            if a < b and cos[i, j] >= 0.3:
+                want[(a, b)] = cos[i, j]
+    assert set(got) == set(want), (len(got), len(want))
+    for k_, v in got.items():
+        assert abs(v - want[k_]) < 1e-9
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    from pg_textsearch_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(emb, threshold=0.3, exact=True).collect()
+    }
+    lsh_pairs = embedding_neardup_pairs(
+        emb, threshold=0.3, exact=False, n_bits=16, bands=8
+    ).collect()
+    lsh = {(r["vec_a"], r["vec_b"]) for r in lsh_pairs}
+    # every LSH pair is exact-rescored -> no false positives
+    assert lsh <= exact
+    assert exact, "fixture must produce pairs"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, (recall, len(exact), len(lsh))
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    from pg_textsearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 30 docs all sharing one boilerplate prefix (a hot shingle bucket
+    # that goes quadratic), plus one true near-dup pair
+    boiler = "site nav footer"
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1).collect()
+    capped = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_df=5).collect()
+    # without the cap the boilerplate bucket pairs all 30 docs
+    assert len(uncapped) >= 30 * 29 // 2
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    # with the cap only the true near-dup pair survives
+    assert capped_pairs == {(100, 101)}, capped_pairs
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     ensure_shipped(spark)
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
