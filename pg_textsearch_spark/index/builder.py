@@ -12,8 +12,10 @@ Logical schema (SURVEY.md §1.5):
   ``crc32(term) % n_buckets`` for query-time file pruning (the role of
   the segment dictionary's binary search, reference:
   src/segment/scan.c:579-688);
-- ``doclen(doc_id, doc_key, doc_len, fieldnorm)`` (fieldnorm table +
-  ctid map, reference: src/segment/docmap.c:42-212);
+- ``doclen(doc_id, doc_len, fieldnorm)`` (the fieldnorm table,
+  reference: src/segment/docmap.c:42-212) plus, for key_col-built
+  indexes, ``keymap(doc_id, doc_key)`` (the ctid map: resolves
+  results back to source rows, reference: segment.c:1270-1288);
 - manifest.json: corpus stats + segment lineage (the metapage,
   reference: src/index/metapage.h:30-106).
 
@@ -145,7 +147,12 @@ def _postings_rows(batches):
         yield emit(carry)
 
 
-def assign_doc_ids(df: DataFrame, key_col: str, out_col: str = "doc_id") -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame,
+    key_col: str,
+    out_col: str = "doc_id",
+    persisted: list | None = None,
+) -> DataFrame:
     """Dense global doc_ids 0..n-1 in ``key_col`` order, scalably.
 
     Plays the reference's docmap role: doc_id order == global key order
@@ -154,6 +161,10 @@ def assign_doc_ids(df: DataFrame, key_col: str, out_col: str = "doc_id") -> Data
     single-partition global window: range-repartition by key, count per
     partition (tiny collect), then broadcast-join partition offsets and
     number rows within partitions only.
+
+    The range-shuffled input stays persisted while the caller's actions
+    run; pass ``persisted`` (a list the caller unpersists when done) to
+    avoid executor-memory creep across many builds in one session.
     """
     spark = df.sparkSession
     # persist the input: repartitionByRange samples the key (one extra
@@ -165,8 +176,13 @@ def assign_doc_ids(df: DataFrame, key_col: str, out_col: str = "doc_id") -> Data
         "_pid", F.spark_partition_id()
     )
     ranged = ranged.persist()
+    if persisted is not None:
+        persisted.append(ranged)
     counts = {r["_pid"]: r["cnt"] for r in
               ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    # the counts collect materialized `ranged`; the sampling cache on
+    # the raw input is no longer needed
+    df.unpersist()
     offsets, acc = [], 0
     for pid in range(max(counts) + 1 if counts else 0):
         offsets.append((pid, acc))
@@ -186,6 +202,7 @@ def build_segment_dataframes(
     text_col: str,
     config: str = "english",
     n_buckets: int = DEFAULT_N_BUCKETS,
+    persisted: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """docs(doc_id, text) -> (postings_df, doclen_df) for one segment.
 
@@ -208,6 +225,8 @@ def build_segment_dataframes(
     # same role is played by writing the token table to a staging
     # location — see checkpointing in index/checkpoint.py.)
     toklen = toklen.persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted is not None:
+        persisted.append(toklen)
 
     # every input doc appears in doclen, including docs whose text
     # tokenizes to nothing (doc_len 0, fieldnorm encode(0)=0): the
@@ -324,12 +343,18 @@ class IndexWriter:
         k1: float = bm25.DEFAULT_K1,
         b: float = bm25.DEFAULT_B,
         lineage: dict | None = None,
+        keymap: DataFrame | None = None,
     ) -> dict:
         base = self.index_dir
         write_postings(postings, os.path.join(base, "postings", f"seg={seg_id}"))
         doclen.write.mode("overwrite").parquet(
             os.path.join(base, "doclen", f"seg={seg_id}")
         )
+        if keymap is not None:
+            # doc_id -> source key (e.g. url): the ctid-map analog
+            keymap.write.mode("overwrite").parquet(
+                os.path.join(base, "keymap", f"seg={seg_id}")
+            )
         spark = postings.sparkSession
         self.write_dictionary(spark, seg_id)
         stats = spark.read.schema(
@@ -362,6 +387,7 @@ class IndexWriter:
                 "total_tokens": int(stats["total_tokens"]),
                 "max_doc_id": int(stats["max_doc_id"]),
                 "created_at_unix": int(time.time()),
+                "has_keymap": keymap is not None,
                 "lineage": lineage or {},
             }
         )
@@ -386,24 +412,41 @@ def build_index(
     """One-shot bulk build (reference: tp_build, build.c:1262-1600).
 
     If ``key_col`` is given (e.g. ``url`` for pages tables), dense
-    doc_ids are assigned in key order first; otherwise ``doc_id_col``
-    must already hold unique integer ids (their numeric order is the
-    tie-break order).
+    doc_ids are assigned in key order first AND the doc_id -> key
+    mapping is persisted as the segment's ``keymap`` table (the ctid
+    map analog, reference: segment.c:1270-1288) so results resolve
+    back to source rows; otherwise ``doc_id_col`` must already hold
+    unique integer ids (their numeric order is the tie-break order).
     """
-    if key_col is not None:
-        # project to the two columns the build touches BEFORE the id
-        # shuffle: assign_doc_ids persists + range-shuffles its input,
-        # which defeats Catalyst column pruning — dragging e.g. the
-        # html binary through that shuffle triples its volume
-        docs = assign_doc_ids(docs.select(key_col, text_col), key_col)
-        doc_id_col = "doc_id"
-    else:
-        docs = docs.select(doc_id_col, text_col)
-    postings, doclen = build_segment_dataframes(
-        docs, doc_id_col, text_col, config, n_buckets
-    )
-    writer = IndexWriter(index_dir)
-    return writer.write_segment(
-        postings, doclen, seg_id=0, config=config, n_buckets=n_buckets,
-        k1=k1, b=b, lineage=lineage,
-    )
+    persisted: list = []
+    try:
+        if key_col is not None:
+            # project to the two columns the build touches BEFORE the
+            # id shuffle: assign_doc_ids persists + range-shuffles its
+            # input, which defeats Catalyst column pruning — dragging
+            # e.g. the html binary through that shuffle triples its
+            # volume
+            docs = assign_doc_ids(
+                docs.select(key_col, text_col), key_col, persisted=persisted
+            )
+            doc_id_col = "doc_id"
+        else:
+            docs = docs.select(doc_id_col, text_col)
+        postings, doclen = build_segment_dataframes(
+            docs, doc_id_col, text_col, config, n_buckets,
+            persisted=persisted,
+        )
+        writer = IndexWriter(index_dir)
+        keymap = None
+        if key_col is not None:
+            keymap = docs.select(
+                F.col(doc_id_col).cast("long").alias("doc_id"),
+                F.col(key_col).cast("string").alias("doc_key"),
+            )
+        return writer.write_segment(
+            postings, doclen, seg_id=0, config=config, n_buckets=n_buckets,
+            k1=k1, b=b, lineage=lineage, keymap=keymap,
+        )
+    finally:
+        for h in persisted:
+            h.unpersist()

@@ -70,6 +70,7 @@ def merge_segments(
     )
     flat = decode_postings_flat(src_postings)
     if drop_doc_ids is not None:
+        drop_doc_ids = drop_doc_ids.select("doc_id").distinct()
         # dead docs physically dropped during merge (reference:
         # merge.c old_to_new = UINT32_MAX path, merge.c:658-882)
         flat = flat.join(F.broadcast(drop_doc_ids), "doc_id", "left_anti")
@@ -77,13 +78,34 @@ def merge_segments(
     merged = postings_from_flat(flat, n_buckets)
 
     doclen_root = os.path.join(base, "doclen")
-    merged_doclen = spark.read.schema(DOCLEN_READ_SCHEMA).option(
+    src_doclen = spark.read.schema(DOCLEN_READ_SCHEMA).option(
         "basePath", doclen_root
     ).parquet(
         *[os.path.join(doclen_root, f"seg={sid}") for sid in sorted(seg_set)]
     ).drop("seg")
+    merged_doclen = src_doclen
+    dead_tokens_quantized = 0
     if drop_doc_ids is not None:
-        merged_doclen = merged_doclen.join(
+        # the merged segment's total_tokens follows the reference's
+        # stats rule (merge.c:842-866): sum of source totals minus the
+        # QUANTIZED (decode(encode(dl))) lengths of the dropped docs —
+        # raw dead lengths are unknown to the reference at merge time,
+        # and pending-delete accounting already subtracts quantized
+        # lengths, so recomputing from surviving raw lengths would
+        # shift avgdl across vacuum
+        from pg_textsearch_spark.operators.topk import _fieldnorm_decode_expr
+
+        dead_tokens_quantized = int(
+            src_doclen.join(F.broadcast(drop_doc_ids), "doc_id")
+            .agg(
+                F.coalesce(
+                    F.sum(_fieldnorm_decode_expr(F.col("fieldnorm"))),
+                    F.lit(0.0),
+                )
+            )
+            .collect()[0][0]
+        )
+        merged_doclen = src_doclen.join(
             F.broadcast(drop_doc_ids), "doc_id", "left_anti"
         )
 
@@ -92,6 +114,19 @@ def merge_segments(
     merged_doclen.write.mode("overwrite").parquet(
         os.path.join(doclen_root, f"seg={new_seg_id}")
     )
+    # carry the doc_id -> key map through the merge (ids never change;
+    # dropped docs leave the map)
+    keymap_root = os.path.join(base, "keymap")
+    has_keymap = all(s.get("has_keymap") for s in segs)
+    if has_keymap:
+        km = spark.read.schema("doc_id bigint, doc_key string").parquet(
+            *[os.path.join(keymap_root, f"seg={sid}") for sid in sorted(seg_set)]
+        )
+        if drop_doc_ids is not None:
+            km = km.join(F.broadcast(drop_doc_ids), "doc_id", "left_anti")
+        km.write.mode("overwrite").parquet(
+            os.path.join(keymap_root, f"seg={new_seg_id}")
+        )
     stats = spark.read.schema(
         "doc_id bigint, doc_len bigint, fieldnorm int"
     ).parquet(os.path.join(doclen_root, f"seg={new_seg_id}")).agg(
@@ -105,14 +140,17 @@ def merge_segments(
     src_docs = sum(s["num_docs"] for s in segs)
     src_tokens = sum(s["total_tokens"] for s in segs)
     if drop_doc_ids is None:
-        # invariant: merged totals == sum of source totals
-        # (reference: merge.c:842-866 — no dead docs, exact sums)
+        # invariant: merged doc count == sum of source counts; the
+        # token total is carried forward as the sum of source totals
+        # (reference merges sum segment headers, merge.c:842-866 —
+        # they can lag the raw doclen sum by quantization error once a
+        # vacuum has happened upstream, so no raw-sum equality here)
         assert int(stats["num_docs"]) == src_docs, (stats, src_docs)
-        assert int(stats["total_tokens"]) == src_tokens, (stats, src_tokens)
     else:
         assert int(stats["num_docs"]) <= src_docs
+        # quantized correction, NOT the surviving raw sum (see above)
+        src_tokens = src_tokens - dead_tokens_quantized
     src_docs = int(stats["num_docs"])
-    src_tokens = int(stats["total_tokens"])
 
     level = max((s.get("level", 0) for s in segs), default=0) + 1
     manifest["segments"] = [
@@ -126,6 +164,7 @@ def merge_segments(
             "total_tokens": src_tokens,
             "max_doc_id": max(s.get("max_doc_id", -1) for s in segs),
             "created_at_unix": 0,
+            "has_keymap": has_keymap,
             "lineage": {"merged_from": sorted(seg_set)},
         }
     )
@@ -140,6 +179,7 @@ def merge_segments(
         shutil.rmtree(
             os.path.join(base, "dictionary", f"seg={sid}"), ignore_errors=True
         )
+        shutil.rmtree(os.path.join(keymap_root, f"seg={sid}"), ignore_errors=True)
     return manifest
 
 

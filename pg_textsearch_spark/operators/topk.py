@@ -127,6 +127,33 @@ class BM25Index:
             .filter(F.col("term").isin(list(terms)))
         )
 
+    def keymap(self) -> DataFrame | None:
+        """(doc_id, doc_key) for key_col-built indexes (the ctid-map
+        analog; reference: segment.c:1270-1288) — None when the index
+        was built over pre-assigned integer ids."""
+        segs = [
+            s for s in self.manifest["segments"] if s.get("has_keymap")
+        ]
+        if not segs:
+            return None
+        root = os.path.join(self.index_dir, "keymap")
+        return self.spark.read.schema("doc_id bigint, doc_key string").parquet(
+            *[os.path.join(root, f"seg={s['seg_id']}") for s in segs]
+        )
+
+    def resolve_keys(self, df: DataFrame) -> DataFrame:
+        """Join doc_key onto any DataFrame carrying doc_id (e.g. a
+        top-k result) — the reference's CTID resolution step
+        (tp_topk_resolve_ctids, bmw.c:260-295). For k-row inputs the
+        keymap side is joined broadcast-free: Spark broadcasts the
+        small top-k side instead."""
+        km = self.keymap()
+        if km is None:
+            raise ValueError(
+                "index was not built with key_col; no keymap to resolve"
+            )
+        return df.join(km, "doc_id", "left")
+
     def dictionary(self) -> DataFrame:
         root = os.path.join(self.index_dir, "dictionary")
         return self.spark.read.schema(DICT_READ_SCHEMA).option(

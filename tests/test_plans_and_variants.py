@@ -111,6 +111,50 @@ def test_expression_index_analog(spark, tmp_path):
     assert len(res) == 5
 
 
+def test_keymap_resolution_roundtrip(spark, tmp_path):
+    # key_col builds must persist doc_id -> key (the ctid map analog)
+    # so results resolve back to source rows — including across vacuum
+    from pg_textsearch_spark.index.deletes import delete_docs, vacuum
+    from pg_textsearch_spark.sources.pages import (
+        generate_pages,
+        with_extracted_text,
+    )
+
+    pages = with_extracted_text(generate_pages(spark, 60, seed=11))
+    d = str(tmp_path / "km_idx")
+    build_index(
+        spark, pages, d, key_col="url", text_col="extracted_text",
+        config="ascii", n_buckets=4,
+    )
+    idx = BM25Index(spark, d)
+    rows = idx.keymap().orderBy("doc_id").collect()
+    assert len(rows) == 60
+    urls = [r["doc_key"] for r in rows]
+    # docmap invariant: doc_id order == key order (docmap.c:172-181)
+    assert urls == sorted(urls)
+    assert [r["doc_id"] for r in rows] == list(range(60))
+    by_id = {r["doc_id"]: r["doc_key"] for r in rows}
+
+    res = topk_exhaustive(idx, "t0 t1", 5)
+    resolved = idx.resolve_keys(res).collect()
+    assert resolved and all(
+        r["doc_key"] == by_id[r["doc_id"]] for r in resolved
+    )
+
+    # keymap survives the rewrite path (vacuum = merge with drops)
+    victim = resolved[0]["doc_id"]
+    delete_docs(idx, [victim])
+    vacuum(BM25Index(spark, d))
+    idx2 = BM25Index(spark, d)
+    rows2 = idx2.keymap().collect()
+    assert len(rows2) == 59
+    assert victim not in {r["doc_id"] for r in rows2}
+    resolved2 = idx2.resolve_keys(topk_exhaustive(idx2, "t0 t1", 5)).collect()
+    assert resolved2 and all(
+        r["doc_key"] == by_id[r["doc_id"]] for r in resolved2
+    )
+
+
 def test_tokenize_vector_udf_matches_tokenize(spark):
     # the bm25vector-shaped column (reference: src/types/vector.h) must
     # agree with the scalar tokenizer
