@@ -617,15 +617,17 @@ ORDER BY tf.doc_id
 
 
 def q_bmw_topk(query: str, k: int = 10):
-    """BMW path exposed to the driver as a rows-only check (float32
-    kernel: scores match the f64 oracle at 1e-3, pytest-pinned, but
-    not at exact value-hash granularity)."""
+    """BMW path, oracle-gated: pruning runs in float32 (the
+    reference's index-scan arithmetic) but the emitted score is the
+    exact float64 value with the same per-term operation order as the
+    exhaustive path, so the result hash-matches the same oracle SQL."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pg_textsearch_spark.operators.bmw import topk_bmw
 
         idx = ensure_index(spark, sf_dir)
-        return topk_bmw(idx, query, k=k)
+        res = topk_bmw(idx, query, k=k)
+        return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
     return run
 
@@ -659,12 +661,14 @@ def harness_queries() -> dict:
 
 
 def harness_oracle_sql() -> dict:
-    # keys absent here (bm25_topk_bmw, dedup_minhash_lsh, dedup_simhash,
-    # knn_ann_lsh) are rows-only checks: float32 kernels / hash-based
-    # approximations that are not ANSI-SQL-expressible; their
+    # keys absent here (dedup_minhash_lsh, dedup_simhash, knn_ann_lsh,
+    # dedup_embedding_lsh, dedup_simhash_pairs, pages_e2e_pipeline) are
+    # rows-only checks: hash-based approximations / recall<1 blocking /
+    # english-config stemming that are not ANSI-SQL-expressible; their
     # correctness is pinned by the pytest suite instead.
     return {
         "bm25_topk_multi": bm25_topk_oracle_sql(QUERY_MULTI),
+        "bm25_topk_bmw": bm25_topk_oracle_sql(QUERY_MULTI),
         "bm25_topk_single": bm25_topk_oracle_sql(QUERY_SINGLE),
         "bm25_topk_repeat": bm25_topk_oracle_sql(QUERY_REPEAT),
         "bm25_topk_batch": topk_batch_oracle_sql(BATCH_QUERIES),

@@ -41,21 +41,40 @@ from pg_textsearch_spark.functions.tokenizer import tokenize_query
 from pg_textsearch_spark.index.codec import decompress_block
 
 
+def _term_score64(tf, dl, idf: float, qf: float, avgdl: float, k1, b):
+    """Exact float64 per-posting score, operation-ordered identically
+    to the exhaustive path's Column expression (functions/bm25.py
+    bm25_score_expr) so the emitted BMW scores hash-match the oracle:
+    idf * tf * (k1+1) / (tf + k1*((1-b) + b*dl/avgdl)) * query_freq."""
+    tfv = np.asarray(tf, dtype=np.float64)
+    dlv = np.asarray(dl, dtype=np.float64)
+    norm = k1 * ((1.0 - b) + b * dlv / avgdl)
+    return idf * tfv * (k1 + 1.0) / (tfv + norm) * qf
+
+
 class _Cursor:
     """Posting iterator over one (term, run, seg) row's blocks.
 
     Lazy block decode (reference: segment/scan.c:59-574): a block's
     payload is only decompressed when the cursor actually lands in it;
     skipped blocks cost one comparison.
+
+    Two score arrays per loaded block: float32 (the reference's
+    index-scan arithmetic — drives every threshold/skip decision) and
+    float64 (the emitted score, exact per-term match with the
+    exhaustive path so the driver oracle can hash-compare BMW output).
     """
 
     __slots__ = (
-        "weight", "k1", "b", "avgdl", "block_last", "block_upper",
-        "payloads", "bi", "ids", "scores", "pos", "max_score", "alive",
+        "weight", "idf", "qf", "k1", "b", "avgdl", "block_last",
+        "block_upper", "payloads", "bi", "ids", "scores", "scores64",
+        "pos", "max_score", "alive",
     )
 
-    def __init__(self, blocks, weight, k1, b, avgdl):
-        self.weight = np.float32(weight)  # idf * query_freq
+    def __init__(self, blocks, weight, k1, b, avgdl, idf=None, qf=1):
+        self.weight = np.float32(weight)  # idf * query_freq, f32
+        self.idf = float(idf) if idf is not None else float(weight)
+        self.qf = float(qf)
         self.k1, self.b, self.avgdl = k1, b, avgdl
         if blocks is None or len(blocks) == 0:
             self.alive = False
@@ -93,6 +112,9 @@ class _Cursor:
             bm25_term_score32(tfs, dl, np.float32(1.0), self.avgdl, self.k1, self.b)
             * self.weight
         )
+        self.scores64 = _term_score64(
+            tfs, dl, self.idf, self.qf, self.avgdl, self.k1, self.b
+        )
         self.pos = 0
 
     @property
@@ -101,6 +123,9 @@ class _Cursor:
 
     def cur_score(self) -> float:
         return float(self.scores[self.pos])
+
+    def cur_score64(self) -> float:
+        return float(self.scores64[self.pos])
 
     def cur_block_upper(self) -> float:
         return float(self.block_upper[self.bi])
@@ -129,12 +154,22 @@ class _Cursor:
             self._load_block(self.bi + 1)
 
 
+#: extra heap slots per run beyond k: the heap ranks by float32 (the
+#: reference's index-scan arithmetic) but the global merge ranks by the
+#: exact float64 score — a doc (k+1)-th by f32 could be k-th by f64
+#: when the two scores straddle within an f32 ulp. Padding the run-
+#: local heap makes such boundary flips survive to the global sort.
+HEAP_PAD = 8
+
+
 class _TopK:
-    """min-heap of (score, -doc_id): threshold = root when full.
+    """min-heap of (score32, -doc_id, score64): threshold = root when
+    full.
 
     Tie-break: equal scores -> lower doc_id wins (reference:
     bmw.c:105-122,301-319) — hence -doc_id in the heap key so the
-    *higher* doc_id is evicted first.
+    *higher* doc_id is evicted first. score64 rides along (same doc ->
+    never compared).
 
     ``floor`` is an externally-proven lower bound on the global k-th
     best score (the two-phase bootstrap): runs skip blocks below it
@@ -142,15 +177,15 @@ class _TopK:
     """
 
     def __init__(self, k: int, floor: float = -1.0):
-        self.k = k
+        self.k = k + HEAP_PAD
         self.floor = floor
-        self.heap: list[tuple[float, int]] = []
+        self.heap: list[tuple[float, int, float]] = []
 
-    def push(self, score: float, doc_id: int) -> None:
-        item = (score, -doc_id)
+    def push(self, score: float, doc_id: int, score64: float) -> None:
+        item = (score, -doc_id, score64)
         if len(self.heap) < self.k:
             heapq.heappush(self.heap, item)
-        elif item > self.heap[0]:
+        elif item[:2] > self.heap[0][:2]:
             heapq.heapreplace(self.heap, item)
 
     @property
@@ -159,7 +194,7 @@ class _TopK:
         return max(local, self.floor)
 
     def rows(self):
-        return [(-nd, s) for s, nd in self.heap]
+        return [(-nd, s, s64) for s, nd, s64 in self.heap]
 
 
 def _score_single_term(
@@ -186,13 +221,14 @@ def _score_single_term(
             bm25_term_score32(tfs, dl, np.float32(1.0), c.avgdl, c.k1, c.b)
             * c.weight
         )
+        scores64 = _term_score64(tfs, dl, c.idf, c.qf, c.avgdl, c.k1, c.b)
         # push all (<=128) postings: the heap's (score, -doc_id) order
         # handles both threshold and the doc_id tie-break
         for i in range(len(scores)):
             d = int(ids[i])
             if dead is not None and d in dead:
                 continue  # alive filtering (reference: bmw.c:542-548)
-            topk.push(float(scores[i]), d)
+            topk.push(float(scores[i]), d, float(scores64[i]))
     return topk.rows()
 
 
@@ -247,10 +283,12 @@ def _score_wand(
                 continue
             if dead is None or pivot_doc not in dead:
                 score = 0.0
+                score64 = 0.0
                 for c in prefix:
                     score += c.cur_score()
+                    score64 += c.cur_score64()
                 score = float(np.float32(score))
-                topk.push(score, pivot_doc)
+                topk.push(score, pivot_doc, score64)
             for c in prefix:
                 c.advance()
         else:
@@ -388,9 +426,12 @@ def topk_bmw(
     _bootstrap_stats: dict | None = None,
 ) -> DataFrame:
     """Distributed BMW top-k. Same result contract as topk_exhaustive
-    (rank, doc_id, score) — float32 arithmetic, so scores match
-    exhaustive-float64 within the reference's own 1e-3 tolerance and
-    ranks match under the (score DESC, doc_id ASC) tie-break."""
+    (rank, doc_id, score). All skip/threshold decisions run in float32
+    like the reference's index scan (bmw.c:382-396); the *emitted*
+    score is the exact float64 value (same per-term operation order as
+    the exhaustive path), and the global merge ranks on it — so the
+    result hash-matches the exhaustive path and the DuckDB oracle at
+    4 decimals, not just within 1e-3."""
     from pyspark.sql import Window
 
     spark = index.spark
@@ -408,6 +449,7 @@ def topk_bmw(
         bootstrap = sum(dfs.values()) >= BOOTSTRAP_MIN_POSTINGS
     k1, b, avgdl = index.k1, index.b, index.avgdl
     wmap = {t: float(idf) * int(qf) for t, (idf, qf) in weights.items()}
+    iqmap = {t: (float(idf), int(qf)) for t, (idf, qf) in weights.items()}
     single = len(wmap) == 1
     kk = int(k)
     # alive filtering: ship the dead-id set into the scoring kernel
@@ -431,7 +473,10 @@ def topk_bmw(
 
     def score_run(pdf: pd.DataFrame) -> pd.DataFrame:
         cursors = [
-            _Cursor(row.blocks, wmap[row.term], k1, b, avgdl)
+            _Cursor(
+                row.blocks, wmap[row.term], k1, b, avgdl,
+                idf=iqmap[row.term][0], qf=iqmap[row.term][1],
+            )
             for row in pdf.itertuples()
         ]
         cursors = [c for c in cursors if c.alive]
@@ -442,10 +487,11 @@ def topk_bmw(
             if single
             else _score_wand(cursors, kk, dead_all, floor)
         )
+        # emit the exact f64 score; f32 was only the pruning arithmetic
         return pd.DataFrame(
             {
                 "doc_id": np.asarray([r[0] for r in rows], dtype=np.int64),
-                "score": np.asarray([r[1] for r in rows], dtype=np.float64),
+                "score": np.asarray([r[2] for r in rows], dtype=np.float64),
             }
         )
 
