@@ -1,0 +1,128 @@
+"""PG-default-parser-flavored tokenizer: typed token classes for web text.
+
+The reference inherits PostgreSQL's *default* text-search parser: a
+state machine that emits TYPED tokens — URLs, emails, hosts, file
+paths, version numbers, numbers, and hyphenated compounds (which emit
+the compound AND its parts) — and the text-search config then maps
+each token type to a dictionary chain (stem+stopwords for word
+classes, pass-through 'simple' for the rest). On real web text this
+differs from a plain word-split on every line containing a URL or a
+hyphenated word. References: the reference delegates to
+``to_tsvector`` (src/access/build.c:734-788, README.md:581-629); the
+token-class taxonomy is PostgreSQL's public documentation of the
+default parser (textsearch-parsers: asciiword, word, numword,
+asciihword/hword/numhword + their parts, email, url, host, url_path,
+file, int, uint, float, sfloat, version, tag, entity, protocol,
+blank).
+
+This module re-specifies that taxonomy as a regex-alternation scanner.
+It is a *documented approximation*, pinned by frozen fixtures in
+tests/test_pg_parser.py — not bug-for-bug with Postgres (there is no
+Postgres in this environment to diff against); divergences live at
+rare punctuation edges, not in the class structure.
+
+Emission rules (mirroring ts_debug output shape):
+
+- ``http://example.com/a/b``  -> url "example.com/a/b", host
+  "example.com", url_path "/a/b" (protocol head dropped — PG maps
+  'protocol' to no dictionary).
+- ``www.example.com`` / ``example.com`` -> host.
+- ``user@example.com``        -> email (kept whole).
+- ``/usr/local/lib``          -> file.
+- ``state-of-the-art``        -> hword compound + one part per word.
+- ``tapir-1.4``               -> numhword compound + parts.
+- ``1.2.3`` -> version; ``3.14`` -> float; ``1e-10`` -> sfloat;
+  ``42`` -> uint.
+- ``<div class="x">`` and ``&amp;`` -> skipped (tag/entity).
+- underscores separate words (PG behavior: foo_bar -> foo, bar).
+
+Class -> dictionary mapping (PG 'english' config): letter-only word
+classes (word, hword, hword_part) get stopword removal + stemming;
+everything else (numword, numhword, hword_numpart, email, url, host,
+url_path, file, uint, float, sfloat, version) is lowercased verbatim.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: token classes whose lexemes run through the stop+stem chain in an
+#: english-style config (PG maps these to english_stem); all other
+#: classes map to the pass-through 'simple' dictionary
+PG_STEM_CLASSES = frozenset({"word", "hword", "hword_part"})
+
+#: one alternation per token class, tried in priority order — the
+#: scanner is leftmost-first, so longer/structured classes come first
+_TOKEN_RE = re.compile(
+    r"""
+  (?P<tag><[/!]?[A-Za-z][^<>]{0,1023}>)
+| (?P<entity>&\#?[A-Za-z0-9]{1,32};)
+| (?P<url>
+     [A-Za-z][A-Za-z0-9+.-]*://                    # protocol (dropped)
+     (?P<u_host>[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)
+     (?P<u_path>/[^\s<>"'`]*)?
+  )
+| (?P<email>[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)
+| (?P<hosturl>                                     # url without protocol
+     (?P<h_host>[A-Za-z0-9][A-Za-z0-9-]*(?:\.[A-Za-z0-9-]+)+)
+     (?P<h_path>/[^\s<>"'`]*)
+  )
+| (?P<host>[A-Za-z0-9][A-Za-z0-9-]*(?:\.[A-Za-z][A-Za-z0-9-]*)+)
+| (?P<file>/[\w.-]+(?:/[\w.-]+)+/? | [\w.-]+(?:/[\w.-]+)+/?)
+| (?P<sfloat>\d+(?:\.\d+)?[eE][+-]?\d+(?![^\W_]))
+| (?P<version>\d+(?:\.\d+){2,}(?![^\W_]))
+| (?P<float>\d+\.\d+(?![^\W_]))
+| (?P<uint>\d+(?![^\W_]))
+| (?P<hword>[^\W\d_][^\W_]*(?:-[^\W_]+)+)
+| (?P<numword>(?=[^\W_]*\d)[^\W_]+)
+| (?P<word>[^\W\d_]+)
+""",
+    re.VERBOSE | re.UNICODE,
+)
+
+_SKIP = ("tag", "entity")
+_HAS_DIGIT = re.compile(r"\d")
+
+
+def pg_scan(text: str):
+    """Yield (token_class, token_text) over raw (non-lowercased) text.
+
+    Compound classes emit multiple tokens: a url emits (url, host[,
+    url_path]); a hyphenated word emits the compound then each part.
+    """
+    for m in _TOKEN_RE.finditer(text):
+        kind = None
+        for k in (
+            "tag", "entity", "url", "email", "hosturl", "host", "file",
+            "sfloat", "version", "float", "uint", "hword", "numword",
+            "word",
+        ):
+            if m.group(k) is not None:
+                kind = k
+                break
+        if kind in _SKIP:
+            continue
+        if kind == "url":
+            host = m.group("u_host")
+            path = m.group("u_path")
+            yield ("url", host + (path or ""))
+            yield ("host", host)
+            if path:
+                yield ("url_path", path)
+        elif kind == "hosturl":
+            host = m.group("h_host")
+            path = m.group("h_path")
+            yield ("url", host + path)
+            yield ("host", host)
+            yield ("url_path", path)
+        elif kind == "hword":
+            tok = m.group("hword")
+            compound_cls = "numhword" if _HAS_DIGIT.search(tok) else "hword"
+            yield (compound_cls, tok)
+            for part in tok.split("-"):
+                part_cls = (
+                    "hword_numpart" if _HAS_DIGIT.search(part) else "hword_part"
+                )
+                yield (part_cls, part)
+        else:
+            yield (kind, m.group(kind))

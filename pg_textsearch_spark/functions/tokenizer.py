@@ -19,15 +19,21 @@ reference: src/access/build.c:734-788):
   elements (reference: src/types/array.c:36-70) — use
   ``F.concat_ws(" ", col)`` / ``array_join`` before tokenizing.
 
-We define three configs (the reference's configs are Postgres objects;
-ours are tokenizer specs pinned by conformance fixtures):
+Built-in configs (the reference's configs are Postgres objects; ours
+are tokenizer specs pinned by conformance fixtures):
 
-- ``ascii``   : runs of [a-z0-9] over lowercased text. Exactly
-                expressible in ANSI SQL (DuckDB oracle parity).
-- ``simple``  : runs of Unicode letters/digits over lowercased text
-                (Postgres 'simple' analog).
-- ``english`` : simple + Snowball english stopwords + Porter2 stem
-                (Postgres 'english' analog).
+- ``ascii``      : runs of [a-z0-9] over lowercased text. Exactly
+                   expressible in ANSI SQL (DuckDB oracle parity).
+- ``simple``     : runs of Unicode letters/digits over lowercased text
+                   (word-split approximation of Postgres 'simple').
+- ``english``    : simple + Snowball english stopwords + Porter2 stem.
+- ``pg_simple``  : PG default-parser token classes (urls, emails,
+                   hosts, files, versions, hyphenated compounds+parts;
+                   functions/pg_parser.py), no stem/stopwords.
+- ``pg_english`` : pg_simple classes; word classes additionally get
+                   stopwords + Porter2 (the PG 'english' mapping
+                   shape) — the highest-parity config for web text.
+- language configs (french/german/spanish...) via functions/languages.
 
 Scale design: the hot build path never runs per-row Python — for all
 configs word segmentation is a JVM-side ``split``/``explode`` (whole-
@@ -62,6 +68,11 @@ class TokenizerConfig:
     sql_split_pattern: str  # Java/DuckDB regex splitting on non-token runs
     stopwords: frozenset[str] = field(default_factory=frozenset)
     do_stem: bool = False
+    #: "words" = split-regex word tokenizer (JVM-side in the build);
+    #: "pg" = PG-default-parser token classes (functions/pg_parser.py:
+    #: urls/emails/hosts/files/versions/hyphenated compounds+parts);
+    #: stop+stem then apply only to PG_STEM_CLASSES lexemes
+    parser: str = "words"
 
 
 CONFIGS: dict[str, TokenizerConfig] = {
@@ -82,6 +93,23 @@ CONFIGS: dict[str, TokenizerConfig] = {
         stopwords=ENGLISH_STOPWORDS,
         do_stem=True,
     ),
+    # PG default-parser analogs: typed token classes over web text.
+    # The reference's actual tokenizer contract (README.md:581-629) —
+    # highest-parity configs for corpora containing URLs/emails/paths.
+    "pg_simple": TokenizerConfig(
+        name="pg_simple",
+        py_pattern="",
+        sql_split_pattern="",
+        parser="pg",
+    ),
+    "pg_english": TokenizerConfig(
+        name="pg_english",
+        py_pattern="",
+        sql_split_pattern="",
+        stopwords=ENGLISH_STOPWORDS,
+        do_stem=True,
+        parser="pg",
+    ),
 }
 
 
@@ -100,8 +128,9 @@ def register_config(
 ) -> TokenizerConfig:
     """Register a custom text config (the reference's extension point:
     custom text-search configurations, README.md:694-732). Derives
-    from a base config; indexes store the config name in their
-    manifest, so a registered name must be stable across sessions."""
+    from a base config (including ``pg_*`` parser configs); indexes
+    store the config name in their manifest, so a registered name must
+    be stable across sessions."""
     b = get_config(base)
     cfg = TokenizerConfig(
         name=name,
@@ -109,6 +138,7 @@ def register_config(
         sql_split_pattern=b.sql_split_pattern,
         stopwords=frozenset(b.stopwords) | frozenset(extra_stopwords),
         do_stem=b.do_stem if do_stem is None else do_stem,
+        parser=b.parser,
     )
     CONFIGS[name] = cfg
     return cfg
@@ -156,6 +186,8 @@ def _chunk_boundaries(text: str, chunk_bytes: int = CHUNK_BYTES):
 def token_stream(text: str, config: TokenizerConfig | str = "english") -> list[str]:
     """Ordered surviving tokens of one document (post stop/stem)."""
     cfg = get_config(config) if isinstance(config, str) else config
+    if cfg.parser == "pg":
+        return _pg_token_stream(text, cfg)
     rx = re.compile(cfg.py_pattern)
     out: list[str] = []
     for chunk in _chunk_boundaries(text):
@@ -165,6 +197,30 @@ def token_stream(text: str, config: TokenizerConfig | str = "english") -> list[s
             if tok in cfg.stopwords:
                 continue
             out.append(stem(tok) if cfg.do_stem else tok)
+    return out
+
+
+def _pg_token_stream(text: str, cfg: TokenizerConfig) -> list[str]:
+    """Typed-token path: scan classes, then apply the class->dictionary
+    mapping — stop+stem for word classes, lowercase verbatim for the
+    rest (the PG 'english' config's mapping shape)."""
+    from pg_textsearch_spark.functions.pg_parser import (
+        PG_STEM_CLASSES,
+        pg_scan,
+    )
+
+    out: list[str] = []
+    for chunk in _chunk_boundaries(text):
+        for cls, tok in pg_scan(chunk):
+            tok = tok.lower()
+            if len(tok) > TOKEN_MAX_CHARS:
+                continue
+            if cls in PG_STEM_CLASSES:
+                if tok in cfg.stopwords:
+                    continue
+                out.append(stem(tok) if cfg.do_stem else tok)
+            else:
+                out.append(tok)
     return out
 
 
@@ -222,8 +278,16 @@ def spark_token_table(
     codegen) except the Porter2 stem, which is an Arrow-batched pandas
     UDF over the exploded term column. groupBy(id, term) does the tf
     aggregation map-side (partial aggregation) before any shuffle.
+
+    ``pg``-parser configs run the typed-token scanner inside a
+    columnar mapInPandas (the scanner is a state machine, not a split
+    — same tradeoff as the reference's C parser); the per-doc tf
+    Counter happens in the kernel, so the groupBy only merges across
+    Arrow batches.
     """
     cfg = get_config(config) if isinstance(config, str) else config
+    if cfg.parser == "pg":
+        return _pg_spark_token_table(df, id_col, text_col, cfg)
     toks = df.select(
         F.col(id_col),
         F.explode(raw_tokens_column(F.col(text_col), cfg)).alias("term"),
@@ -236,6 +300,46 @@ def spark_token_table(
     if cfg.do_stem:
         toks = toks.withColumn("term", _stem_udf()("term"))
     return toks.groupBy(id_col, "term").agg(F.count("*").cast("int").alias("tf"))
+
+
+def _pg_spark_token_table(
+    df: DataFrame, id_col: str, text_col: str, cfg: TokenizerConfig
+) -> DataFrame:
+    """Typed-token distributed tokenizer: mapInPandas over (id, text),
+    emitting columnar (id, term, tf) — one Counter per doc, flat numpy
+    output arrays, no per-posting Python objects downstream. The
+    kernel IS the conformance oracle (``tokenize``), so the Spark path
+    cannot diverge from the fixture-pinned semantics."""
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            ids_out, terms_out, tfs_out = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                counts = tokenize(t, cfg)
+                if not counts:
+                    continue
+                ids_out.extend([i] * len(counts))
+                terms_out.extend(counts.keys())
+                tfs_out.extend(counts.values())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids_out),
+                    "term": pd.Series(terms_out, dtype=object),
+                    "tf": np.asarray(tfs_out, dtype=np.int32),
+                }
+            )
+
+    # no groupBy needed: each doc is tokenized exactly once and the
+    # per-doc Counter already made (id, term) unique — zero shuffles
+    # added by the tokenizer itself
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} {id_type}, term string, tf int"
+    )
 
 
 def spark_doclen(tokens: DataFrame, id_col: str) -> DataFrame:

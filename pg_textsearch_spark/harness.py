@@ -406,6 +406,18 @@ SELECT doc_id, term, tf::INT AS tf FROM tf WHERE doc_id < 50
 """
 
 
+def q_tokenize_pg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG default-parser token classes (urls/emails/hosts/files/
+    hyphen compounds; the reference's actual tokenizer contract) over
+    the documents slice — rows-only: the typed scanner + Porter2 are
+    not ANSI-SQL-expressible; fixture-pinned in tests/test_pg_parser."""
+    from pg_textsearch_spark.functions.tokenizer import spark_token_table
+
+    ensure_shipped(spark)
+    docs = documents(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return spark_token_table(docs, "doc_id", "text", "pg_english")
+
+
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search: per-lang counts + best score over ALL docs
     matching any query term. The reference delegates faceting to plain
@@ -644,6 +656,7 @@ def harness_queries() -> dict:
         "bm25_doclen_fieldnorm": q_doclen,
         "bm25_score_texts": q_score_texts,
         "tokenize_tf": q_tokenize_tf,
+        "tokenize_pg_web": q_tokenize_pg_web,
         "bm25_topk_resolve": q_topk_resolve,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash_pairs": q_simhash_pairs,

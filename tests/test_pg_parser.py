@@ -1,0 +1,232 @@
+"""Frozen conformance fixtures for the PG-default-parser token classes
+(functions/pg_parser.py) — the reference's actual tokenizer contract
+on web text (it delegates to Postgres's default parser; reference:
+src/access/build.c:734-788, README.md:581-629). These fixtures ARE the
+spec: any change to the scanner must consciously update them.
+"""
+
+import pytest
+
+from pg_textsearch_spark.functions.pg_parser import pg_scan
+from pg_textsearch_spark.functions.tokenizer import (
+    tokenize,
+    token_stream,
+)
+
+
+def scan(text):
+    return list(pg_scan(text))
+
+
+# ---------------------------------------------------------------------------
+# token-class fixtures (ts_debug-shaped)
+# ---------------------------------------------------------------------------
+
+
+def test_url_with_protocol_decomposes():
+    assert scan("see http://example.com/a/b?q=1 now") == [
+        ("word", "see"),
+        ("url", "example.com/a/b?q=1"),
+        ("host", "example.com"),
+        ("url_path", "/a/b?q=1"),
+        ("word", "now"),
+    ]
+
+
+def test_url_without_path_still_emits_url_and_host():
+    assert scan("https://example.com") == [
+        ("url", "example.com"),
+        ("host", "example.com"),
+    ]
+
+
+def test_url_without_protocol():
+    assert scan("www.example.com/about") == [
+        ("url", "www.example.com/about"),
+        ("host", "www.example.com"),
+        ("url_path", "/about"),
+    ]
+
+
+def test_bare_host():
+    assert scan("visit example.com today") == [
+        ("word", "visit"),
+        ("host", "example.com"),
+        ("word", "today"),
+    ]
+
+
+def test_email_kept_whole():
+    assert scan("mail First.Last+tag@sub.example.com please") == [
+        ("word", "mail"),
+        ("email", "First.Last+tag@sub.example.com"),
+        ("word", "please"),
+    ]
+
+
+def test_file_paths():
+    assert scan("/usr/local/lib/libfoo.so.1") == [
+        ("file", "/usr/local/lib/libfoo.so.1"),
+    ]
+    assert scan("src/access/build.c") == [("file", "src/access/build.c")]
+
+
+def test_hyphenated_word_emits_compound_and_parts():
+    assert scan("state-of-the-art") == [
+        ("hword", "state-of-the-art"),
+        ("hword_part", "state"),
+        ("hword_part", "of"),
+        ("hword_part", "the"),
+        ("hword_part", "art"),
+    ]
+
+
+def test_numeric_hyphenated_word():
+    assert scan("tapir-1x4") == [
+        ("numhword", "tapir-1x4"),
+        ("hword_part", "tapir"),
+        ("hword_numpart", "1x4"),
+    ]
+
+
+def test_numbers_versions_floats():
+    assert scan("v1 1.2.3 3.14 42 1.5e-10") == [
+        ("numword", "v1"),
+        ("version", "1.2.3"),
+        ("float", "3.14"),
+        ("uint", "42"),
+        ("sfloat", "1.5e-10"),
+    ]
+
+
+def test_tags_and_entities_skipped():
+    assert scan('<div class="x">a &amp; b</div>') == [
+        ("word", "a"),
+        ("word", "b"),
+    ]
+
+
+def test_underscore_splits_words():
+    assert scan("foo_bar") == [("word", "foo"), ("word", "bar")]
+
+
+def test_numword():
+    assert scan("beta1 2fast") == [("numword", "beta1"), ("numword", "2fast")]
+
+
+def test_unicode_words():
+    assert scan("café über naïve") == [
+        ("word", "café"),
+        ("word", "über"),
+        ("word", "naïve"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# config-level behavior (class -> dictionary mapping)
+# ---------------------------------------------------------------------------
+
+
+def test_pg_english_stems_word_classes_only():
+    tf = tokenize(
+        "The runners visited http://Example.COM/Running today", "pg_english"
+    )
+    # word classes: stopwords removed ('the'), Porter2 applied
+    assert "runner" in tf and "the" not in tf and "runners" not in tf
+    assert tf["today"] == 1
+    # url classes: lowercased verbatim, never stemmed
+    assert tf["example.com/running"] == 1
+    assert tf["example.com"] == 1
+    assert tf["/running"] == 1
+
+
+def test_pg_english_hyphen_compound_and_parts_scored():
+    tf = tokenize("a state-of-the-art system", "pg_english")
+    # compound kept whole (not a stopword), stemmed as one lexeme;
+    # parts go through stop+stem: 'of'/'the' drop, 'state'/'art' stay
+    assert tf["state-of-the-art"] == 1
+    assert tf["state"] == 1 and tf["art"] == 1
+    assert "of" not in tf and "the" not in tf
+
+
+def test_pg_simple_keeps_stopwords_and_case_folds():
+    tf = tokenize("The THE the", "pg_simple")
+    assert tf == {"the": 3}
+
+
+def test_pg_email_tf_counts():
+    tf = tokenize("a@b.com wrote to a@b.com", "pg_simple")
+    assert tf["a@b.com"] == 2
+
+
+def test_token_stream_order_pg():
+    assert token_stream("foo-bar baz", "pg_simple") == [
+        "foo-bar", "foo", "bar", "baz",
+    ]
+
+
+def test_pg_doclen_counts_all_emitted_lexemes():
+    # doc_len = sum tf over ALL lexemes incl. compound + parts (the
+    # reference's doc_len is POSDATALEN over the full tsvector)
+    tf = tokenize("state-of-the-art", "pg_simple")
+    assert sum(tf.values()) == 5  # compound + 4 parts
+
+
+# ---------------------------------------------------------------------------
+# distributed path == oracle path
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("config", ["pg_simple", "pg_english"])
+def test_spark_pg_tokenizer_matches_python(spark, config):
+    from pg_textsearch_spark.functions.tokenizer import spark_token_table
+    from pg_textsearch_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    rows = [
+        (1, "Visit http://example.com/a-b and mail me@x.org"),
+        (2, "state-of-the-art results: 99.9% at v2.0.1"),
+        (3, "<p>HTML &amp; tags stripped</p> /var/log/app.log"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in spark_token_table(df, "doc_id", "text", config).collect():
+        got.setdefault(r["doc_id"], {})[r["term"]] = r["tf"]
+    for doc_id, text in rows:
+        expect = tokenize(text, config) if text else {}
+        assert got.get(doc_id, {}) == expect, (doc_id, got.get(doc_id), expect)
+
+
+def test_pg_index_end_to_end(spark, tmp_path):
+    # build + query through the full engine with the pg_english config
+    from pg_textsearch_spark.index.builder import build_index
+    from pg_textsearch_spark.operators.bmw import topk_bmw
+    from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+
+    rows = [
+        (0, "read the docs at http://docs.example.com/guide now"),
+        (1, "state-of-the-art search engine"),
+        (2, "contact admin@example.com about example.com downtime"),
+        (3, "unrelated filler text about cats"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "pg_idx")
+    build_index(spark, docs, d, config="pg_english", n_buckets=4)
+    idx = BM25Index(spark, d)
+
+    # querying a host token finds exactly the docs carrying that host
+    res = topk_exhaustive(idx, "example.com", 4).collect()
+    assert {r["doc_id"] for r in res} == {2}
+    res_sub = topk_exhaustive(idx, "docs.example.com", 4).collect()
+    assert {r["doc_id"] for r in res_sub} == {0}
+    # hyphenated query matches compound+parts the same way the doc did
+    res2 = topk_exhaustive(idx, "state-of-the-art", 4).collect()
+    assert res2[0]["doc_id"] == 1
+    # BMW parity holds under the pg tokenizer too
+    exh = topk_exhaustive(idx, "example.com search", 4).collect()
+    bmw = topk_bmw(idx, "example.com search", 4).collect()
+    assert [(r["rank"], r["doc_id"]) for r in exh] == [
+        (r["rank"], r["doc_id"]) for r in bmw
+    ]
