@@ -73,6 +73,16 @@ class TokenizerConfig:
     #: urls/emails/hosts/files/versions/hyphenated compounds+parts);
     #: stop+stem then apply only to PG_STEM_CLASSES lexemes
     parser: str = "words"
+    #: Snowball stemmer applied when do_stem: "english" (Porter2,
+    #: functions/stemmer.py) or a language from functions/languages.py
+    stem_lang: str = "english"
+
+    def stem_fn(self):
+        if self.stem_lang == "english":
+            return stem
+        from pg_textsearch_spark.functions.languages import get_stemmer
+
+        return get_stemmer(self.stem_lang)
 
 
 CONFIGS: dict[str, TokenizerConfig] = {
@@ -113,6 +123,44 @@ CONFIGS: dict[str, TokenizerConfig] = {
 }
 
 
+def _register_language_configs() -> None:
+    """french/german/spanish (reference: README.md:184-191 — 'any PG
+    text config'; these three ship with Postgres). Word-split parser +
+    Snowball stemmer + the standard stopword list; pg_-prefixed
+    variants add the typed token classes for web text."""
+    from pg_textsearch_spark.functions.languages import (
+        FRENCH_STOPWORDS,
+        GERMAN_STOPWORDS,
+        SPANISH_STOPWORDS,
+    )
+
+    for lang, stops in (
+        ("french", FRENCH_STOPWORDS),
+        ("german", GERMAN_STOPWORDS),
+        ("spanish", SPANISH_STOPWORDS),
+    ):
+        CONFIGS[lang] = TokenizerConfig(
+            name=lang,
+            py_pattern=r"[^\W_]+",
+            sql_split_pattern=r"[^\p{L}\p{N}]+",
+            stopwords=stops,
+            do_stem=True,
+            stem_lang=lang,
+        )
+        CONFIGS[f"pg_{lang}"] = TokenizerConfig(
+            name=f"pg_{lang}",
+            py_pattern="",
+            sql_split_pattern="",
+            stopwords=stops,
+            do_stem=True,
+            parser="pg",
+            stem_lang=lang,
+        )
+
+
+_register_language_configs()
+
+
 def get_config(name: str) -> TokenizerConfig:
     try:
         return CONFIGS[name]
@@ -139,6 +187,7 @@ def register_config(
         stopwords=frozenset(b.stopwords) | frozenset(extra_stopwords),
         do_stem=b.do_stem if do_stem is None else do_stem,
         parser=b.parser,
+        stem_lang=b.stem_lang,
     )
     CONFIGS[name] = cfg
     return cfg
@@ -189,6 +238,7 @@ def token_stream(text: str, config: TokenizerConfig | str = "english") -> list[s
     if cfg.parser == "pg":
         return _pg_token_stream(text, cfg)
     rx = re.compile(cfg.py_pattern)
+    stem_fn = cfg.stem_fn() if cfg.do_stem else None
     out: list[str] = []
     for chunk in _chunk_boundaries(text):
         for tok in rx.findall(chunk.lower()):
@@ -196,7 +246,7 @@ def token_stream(text: str, config: TokenizerConfig | str = "english") -> list[s
                 continue
             if tok in cfg.stopwords:
                 continue
-            out.append(stem(tok) if cfg.do_stem else tok)
+            out.append(stem_fn(tok) if stem_fn else tok)
     return out
 
 
@@ -209,6 +259,7 @@ def _pg_token_stream(text: str, cfg: TokenizerConfig) -> list[str]:
         pg_scan,
     )
 
+    stem_fn = cfg.stem_fn() if cfg.do_stem else None
     out: list[str] = []
     for chunk in _chunk_boundaries(text):
         for cls, tok in pg_scan(chunk):
@@ -218,7 +269,7 @@ def _pg_token_stream(text: str, cfg: TokenizerConfig) -> list[str]:
             if cls in PG_STEM_CLASSES:
                 if tok in cfg.stopwords:
                     continue
-                out.append(stem(tok) if cfg.do_stem else tok)
+                out.append(stem_fn(tok) if stem_fn else tok)
             else:
                 out.append(tok)
     return out
@@ -244,15 +295,24 @@ def tokenize_query(query: str, config: TokenizerConfig | str = "english") -> dic
 # ---------------------------------------------------------------------------
 
 
-def _stem_udf():
+def _stem_udf(cfg: TokenizerConfig):
     # deferred: pandas_udf needs an active SparkSession to parse DDL types
+    stem_lang = cfg.stem_lang
+
     @pandas_udf("string")
     def _stem(terms: pd.Series) -> pd.Series:
-        # stem each unique term once, then a C-loop dict map — the hot
-        # build path pushes tens of millions of tokens through here and
-        # per-token Python calls are ~3x slower than unique+map
+        # resolve the stemmer on the executor (closure carries only the
+        # name); stem each unique term once, then a C-loop dict map —
+        # the hot build path pushes tens of millions of tokens through
+        # here and per-token Python calls are ~3x slower than unique+map
+        if stem_lang == "english":
+            fn = stem
+        else:
+            from pg_textsearch_spark.functions.languages import get_stemmer
+
+            fn = get_stemmer(stem_lang)
         uniq = terms.unique()
-        table = {t: stem(t) for t in uniq if t is not None}
+        table = {t: fn(t) for t in uniq if t is not None}
         return terms.map(table)
 
     return _stem
@@ -298,7 +358,7 @@ def spark_token_table(
         )
         toks = toks.join(F.broadcast(stop_df), "term", "left_anti")
     if cfg.do_stem:
-        toks = toks.withColumn("term", _stem_udf()("term"))
+        toks = toks.withColumn("term", _stem_udf(cfg)("term"))
     return toks.groupBy(id_col, "term").agg(F.count("*").cast("int").alias("tf"))
 
 
