@@ -171,8 +171,13 @@ def main() -> None:
     total += build_sec
 
     idx = BM25Index(spark, idx_dir)
+    idx.prewarm()  # dictionary pinned in memory (resident-dict analog)
     topk_bmw(idx, "warmup query", 10).collect()  # JIT/UDF warmup
     for key, q in QUERY_BUCKETS.items():
+        # warm latency, mirroring the reference's warm single-client
+        # p50s: one untimed pass loads this query's df cache + plan,
+        # then median of 3 timed runs
+        topk_bmw(idx, q, 10).collect()
         times = []
         for _ in range(3):
             t0 = time.time()

@@ -495,9 +495,25 @@ def topk_bmw(
             }
         )
 
-    per_run = pruned.groupBy("run").applyInPandas(
-        score_run, "doc_id bigint, score double"
-    )
+    if single:
+        # single-term queries need no cross-term alignment: every
+        # (term, run) row is an independent posting list, so score each
+        # scan partition in place (mapInPandas, ZERO shuffles — one
+        # stage from parquet to TakeOrdered) with a partition-local
+        # heap; the global limit merges partition top-ks.
+        def score_partition(batches):
+            for pdf in batches:
+                out = score_run(pdf)
+                if len(out):
+                    yield out
+
+        per_run = pruned.mapInPandas(
+            score_partition, "doc_id bigint, score double"
+        )
+    else:
+        per_run = pruned.groupBy("run").applyInPandas(
+            score_run, "doc_id bigint, score double"
+        )
     topk = per_run.orderBy(F.desc("score"), F.asc("doc_id")).limit(kk)
     return topk.select(
         F.row_number()

@@ -63,6 +63,37 @@ class BM25Index:
         self.k1: float = self.manifest["k1"]
         self.b: float = self.manifest["b"]
         self.n_buckets: int = self.manifest["n_buckets"]
+        # per-handle caches (the reference's per-query fn_extra IDF
+        # cache, query.c:52-158, made per-handle): term -> df results
+        # and the dictionary scan plan. Invalidated whenever the
+        # segment set or delete stats change.
+        self._df_cache: dict[str, int] = {}
+        self._cache_stamp = None
+        self._dictionary_df: DataFrame | None = None
+        self._postings_df: DataFrame | None = None
+
+    def _stamp(self):
+        return (
+            int(self.manifest.get("deleted_docs", 0)),
+            tuple(s["seg_id"] for s in self.manifest["segments"]),
+        )
+
+    def _check_stamp(self) -> None:
+        s = self._stamp()
+        if s != self._cache_stamp:
+            self._df_cache = {}
+            self._dictionary_df = None
+            self._postings_df = None
+            self._cache_stamp = s
+
+    def prewarm(self) -> None:
+        """Pin the dictionary in cluster memory and materialize it —
+        subsequent df lookups for uncached terms hit memory instead of
+        parquet (the reference's always-resident segment dictionaries)."""
+        self._check_stamp()
+        d = self.dictionary().cache()
+        d.count()
+        self._dictionary_df = d
 
     # -- corpus stats (the metapage read; reference: bm25.c:155-191) ----
     # pending deletes reduce N immediately and total_tokens by the
@@ -97,13 +128,20 @@ class BM25Index:
         return (self.total_tokens / n) if n else 0.0
 
     def postings(self) -> DataFrame:
+        # memoized per handle: the DataFrame carries the file listing
+        # (InMemoryFileIndex) — rebuilding it per query re-lists every
+        # bucket directory, a measurable slice of warm-query latency
+        self._check_stamp()
+        if self._postings_df is not None:
+            return self._postings_df
         # basePath keeps seg/bucket partition columns visible
         root = os.path.join(self.index_dir, "postings")
-        return self.spark.read.schema(POSTINGS_READ_SCHEMA).option(
+        self._postings_df = self.spark.read.schema(POSTINGS_READ_SCHEMA).option(
             "basePath", root
         ).parquet(
             *[os.path.join(root, f"seg={s['seg_id']}") for s in self.manifest["segments"]]
         )
+        return self._postings_df
 
     def doclen(self) -> DataFrame:
         root = os.path.join(self.index_dir, "doclen")
@@ -155,6 +193,8 @@ class BM25Index:
         return df.join(km, "doc_id", "left")
 
     def dictionary(self) -> DataFrame:
+        if self._dictionary_df is not None:
+            return self._dictionary_df
         root = os.path.join(self.index_dir, "dictionary")
         return self.spark.read.schema(DICT_READ_SCHEMA).option(
             "basePath", root
@@ -164,10 +204,24 @@ class BM25Index:
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Unified doc_freq per term across segments (reference:
-        bm25.c:46-111). Reads the materialized dictionary (one row per
-        term per segment, bucket-pruned) — the binary-search-the-
-        dictionary analog. Pending deletes are corrected by counting
-        the dead docs' term hits (exact, small anti-set)."""
+        bm25.c:46-111), memoized per handle — a repeated or overlapping
+        query skips the dictionary job entirely (the reference's
+        fn_extra IDF cache, query.c:52-158). Misses read the
+        materialized dictionary (one row per term per segment,
+        bucket-pruned) — the binary-search-the-dictionary analog."""
+        self._check_stamp()
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            fetched = self._term_dfs_uncached(missing)
+            for t in missing:
+                # cache zero-df results too: absent terms are the
+                # common case for web queries and must not refetch
+                self._df_cache[t] = fetched.get(t, 0)
+        return {t: self._df_cache[t] for t in terms if self._df_cache[t] > 0}
+
+    def _term_dfs_uncached(self, terms: list[str]) -> dict[str, int]:
+        """Pending deletes are corrected by counting the dead docs'
+        term hits (exact, small anti-set)."""
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         try:
             d = self.dictionary()
