@@ -8,6 +8,7 @@ import pytest
 from pg_textsearch_spark.index.builder import build_index
 from pg_textsearch_spark.operators.bmw import topk_bmw
 from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+from tests.cranfield_data import CRANFIELD_DOCS, GOLDEN, full_text
 
 DOCS = [
     (1, "The turbulent boundary layer on a flat plate develops downstream "
@@ -134,3 +135,98 @@ def test_empty_corpus_index(spark, tmp_path):
     from pg_textsearch_spark.operators.bmw import topk_bmw
 
     assert topk_bmw(idx, "hello", 5).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# Cranfield subset vs the reference's PUBLISHED scores — the real-text
+# ranking-quality check (reference: test/sql/aerodocs.sql + its
+# expected output). The reference validates its engine on these exact
+# 10 abstracts and 3 queries; we replay them through our full engine
+# (pg_english config: the PG default-parser token classes matter — the
+# corpus is dense with hyphenated compounds like 'boundary-layer') and
+# require per-rank score agreement within 2e-3 of the published
+# numbers (the reference's own acceptance rule is 1e-3 against its SQL
+# oracle; our residual ~1e-3 comes from remaining tokenizer edges on
+# possessives/odd punctuation, measured and documented in BASELINE.md).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cranfield_idx(spark, tmp_path_factory):
+    rows = [(doc[0], full_text(doc)) for doc in CRANFIELD_DOCS]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("cranfield") / "idx")
+    build_index(spark, docs, d, config="pg_english", n_buckets=4)
+    return BM25Index(spark, d)
+
+
+@pytest.mark.parametrize("query", sorted(GOLDEN))
+def test_cranfield_matches_reference_published_ranking(cranfield_idx, query):
+    want = GOLDEN[query]
+    got = topk_exhaustive(cranfield_idx, query, k=len(want)).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, ref_score) in zip(got, want):
+        assert abs(r["score"] - ref_score) <= 2e-3, (query, r, ref_score)
+
+
+def test_cranfield_bmw_parity(cranfield_idx):
+    for query in GOLDEN:
+        exh = topk_exhaustive(cranfield_idx, query, 10).collect()
+        bmw = topk_bmw(cranfield_idx, query, 10).collect()
+        assert [(r["rank"], r["doc_id"]) for r in exh] == [
+            (r["rank"], r["doc_id"]) for r in bmw
+        ]
+
+
+def test_cranfield_mrr_at_10_vs_reference():
+    # MRR@10 treating the reference's published rank-1 doc as the
+    # relevant one (the reference has no qrels in-repo; its own quality
+    # bar is rank/score agreement). Computed over the pure-python
+    # oracle so the number is pinned exactly.
+    from pg_textsearch_spark.functions.fieldnorm import (
+        FIELDNORM_DECODE_TABLE,
+        encode_fieldnorm,
+    )
+    from pg_textsearch_spark.functions.tokenizer import (
+        tokenize,
+        tokenize_query,
+    )
+    import math
+
+    import numpy as np
+
+    full = {doc[0]: full_text(doc) for doc in CRANFIELD_DOCS}
+    tfs = {d: tokenize(t, "pg_english") for d, t in full.items()}
+    n = len(tfs)
+    dls = {d: sum(v.values()) for d, v in tfs.items()}
+    avgdl = sum(dls.values()) / n
+
+    def rank(query):
+        qtf = tokenize_query(query, "pg_english")
+        dfc = {t: sum(1 for d in tfs if t in tfs[d]) for t in qtf}
+        scores = {}
+        for d in tfs:
+            dl = float(
+                FIELDNORM_DECODE_TABLE[
+                    int(encode_fieldnorm(np.array([dls[d]]))[0])
+                ]
+            )
+            s = 0.0
+            for t, qf in qtf.items():
+                if dfc.get(t, 0) == 0 or t not in tfs[d]:
+                    continue
+                idf = math.log1p((n - dfc[t] + 0.5) / (dfc[t] + 0.5))
+                s += idf * tfs[d][t] * 2.2 / (
+                    tfs[d][t] + 1.2 * (0.25 + 0.75 * dl / avgdl)
+                ) * qf
+            if s > 0:
+                scores[d] = s
+        return [d for d, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))]
+
+    rr = []
+    for query, want in GOLDEN.items():
+        ranked = rank(query)[:10]
+        rel = want[0][0]
+        rr.append(1.0 / (ranked.index(rel) + 1) if rel in ranked else 0.0)
+    mrr = sum(rr) / len(rr)
+    assert mrr == 1.0, rr  # pinned quality number (see BASELINE.md)
