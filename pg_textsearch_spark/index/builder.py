@@ -273,28 +273,32 @@ def postings_from_flat(flat: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def write_postings(postings: DataFrame, path: str) -> None:
-    """Physical layout = the dictionary's binary-searchability: cluster
-    each bucket into term-sorted files with small row groups so the
-    query-time ``term IN (...)`` predicate prunes at row-group
-    granularity (the reference reads only the matched terms' blocks;
-    without this a query reads its whole bucket). Shared by bulk build
-    and merge/vacuum."""
-    (
-        postings.repartition("bucket")
-        .sortWithinPartitions("term", "run")
-        .write.mode("overwrite")
-        .option("parquet.block.size", 1 << 20)
-        .partitionBy("bucket")
-        .parquet(path)
-    )
+#: physical layout = the dictionary's binary-searchability: cluster
+#: each bucket into term-sorted files with small row groups so the
+#: query-time ``term IN (...)`` predicate prunes at row-group
+#: granularity (the reference reads only the matched terms' blocks;
+#: without this a query reads its whole bucket). Shared by bulk build
+#: and merge/vacuum via SegmentStore.write.
+POSTINGS_WRITE_OPTS = dict(
+    partition_by="bucket",
+    sort_within=["term", "run"],
+    parquet_block_size=1 << 20,
+)
 
 
 class IndexWriter:
-    """Writes segments + maintains the manifest (the 'metapage')."""
+    """Writes segments + maintains the manifest (the 'metapage').
+
+    All segment IO goes through a ``SegmentStore`` (index/storage.py)
+    — ParquetDirStore here; IcebergSegmentStore on clusters with the
+    Iceberg runtime (manifest commit == snapshot commit there).
+    """
 
     def __init__(self, index_dir: str):
+        from pg_textsearch_spark.index.storage import ParquetDirStore
+
         self.index_dir = index_dir
+        self.store = ParquetDirStore(index_dir)
         self.manifest_path = os.path.join(index_dir, "manifest.json")
 
     def read_manifest(self) -> dict:
@@ -346,15 +350,11 @@ class IndexWriter:
         keymap: DataFrame | None = None,
     ) -> dict:
         base = self.index_dir
-        write_postings(postings, os.path.join(base, "postings", f"seg={seg_id}"))
-        doclen.write.mode("overwrite").parquet(
-            os.path.join(base, "doclen", f"seg={seg_id}")
-        )
+        self.store.write(postings, "postings", seg_id, **POSTINGS_WRITE_OPTS)
+        self.store.write(doclen, "doclen", seg_id)
         if keymap is not None:
             # doc_id -> source key (e.g. url): the ctid-map analog
-            keymap.write.mode("overwrite").parquet(
-                os.path.join(base, "keymap", f"seg={seg_id}")
-            )
+            self.store.write(keymap, "keymap", seg_id)
         spark = postings.sparkSession
         self.write_dictionary(spark, seg_id)
         stats = spark.read.schema(

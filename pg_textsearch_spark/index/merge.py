@@ -22,14 +22,13 @@ is a driver-side loop over the manifest.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
 from pg_textsearch_spark.index.builder import (
     IndexWriter,
+    POSTINGS_WRITE_OPTS,
     postings_from_flat,
-    write_postings,
 )
 from pg_textsearch_spark.operators.topk import (
     BM25Index,
@@ -110,23 +109,19 @@ def merge_segments(
         )
 
     # write new segment, then drop sources from the manifest atomically
-    write_postings(merged, os.path.join(postings_root, f"seg={new_seg_id}"))
-    merged_doclen.write.mode("overwrite").parquet(
-        os.path.join(doclen_root, f"seg={new_seg_id}")
-    )
+    writer = IndexWriter(base)
+    writer.store.write(merged, "postings", new_seg_id, **POSTINGS_WRITE_OPTS)
+    writer.store.write(merged_doclen, "doclen", new_seg_id)
     # carry the doc_id -> key map through the merge (ids never change;
     # dropped docs leave the map)
-    keymap_root = os.path.join(base, "keymap")
     has_keymap = all(s.get("has_keymap") for s in segs)
     if has_keymap:
-        km = spark.read.schema("doc_id bigint, doc_key string").parquet(
-            *[os.path.join(keymap_root, f"seg={sid}") for sid in sorted(seg_set)]
+        km = writer.store.read(
+            spark, "keymap", sorted(seg_set), "doc_id bigint, doc_key string"
         )
         if drop_doc_ids is not None:
             km = km.join(F.broadcast(drop_doc_ids), "doc_id", "left_anti")
-        km.write.mode("overwrite").parquet(
-            os.path.join(keymap_root, f"seg={new_seg_id}")
-        )
+        writer.store.write(km, "keymap", new_seg_id)
     stats = spark.read.schema(
         "doc_id bigint, doc_len bigint, fieldnorm int"
     ).parquet(os.path.join(doclen_root, f"seg={new_seg_id}")).agg(
@@ -134,7 +129,6 @@ def merge_segments(
         F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
     ).collect()[0]
 
-    writer = IndexWriter(base)
     writer.write_dictionary(spark, new_seg_id)
     manifest = writer.read_manifest()
     src_docs = sum(s["num_docs"] for s in segs)
@@ -174,12 +168,8 @@ def merge_segments(
     # reclaim source segment files (the tombstone/vacuum analog —
     # safe after the manifest commit; readers resolve via manifest)
     for sid in seg_set:
-        shutil.rmtree(os.path.join(postings_root, f"seg={sid}"), ignore_errors=True)
-        shutil.rmtree(os.path.join(doclen_root, f"seg={sid}"), ignore_errors=True)
-        shutil.rmtree(
-            os.path.join(base, "dictionary", f"seg={sid}"), ignore_errors=True
-        )
-        shutil.rmtree(os.path.join(keymap_root, f"seg={sid}"), ignore_errors=True)
+        for table in ("postings", "doclen", "dictionary", "keymap"):
+            writer.store.drop_segment(table, sid)
     return manifest
 
 
