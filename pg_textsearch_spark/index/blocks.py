@@ -25,7 +25,7 @@ BLOCK_STRUCT = (
 BLOCKS_SCHEMA = f"array<{BLOCK_STRUCT}>"
 
 
-def build_blocks(doc_ids, tfs, fieldnorms) -> list[dict]:
+def build_blocks(doc_ids, tfs, fieldnorms, codec: str = "bitpack") -> list[dict]:
     """Sorted postings of one term(-run) -> list of block dicts."""
     ids = np.asarray(doc_ids, dtype=np.uint64)
     tf = np.asarray(tfs, dtype=np.uint32)
@@ -44,7 +44,7 @@ def build_blocks(doc_ids, tfs, fieldnorms) -> list[dict]:
                 "doc_count": int(end - start),
                 "block_max_tf": int(bt.max()),
                 "block_max_norm": int(bf.min()),  # min fieldnorm = shortest doc
-                "payload": compress_block(bi, bt, bf),
+                "payload": compress_block(bi, bt, bf, codec=codec),
             }
         )
     return out

@@ -90,7 +90,7 @@ _POSTINGS_ROW_SCHEMA = (
 )
 
 
-def _postings_rows(batches):
+def _postings_rows(batches, codec: str = "bitpack"):
     """mapInPandas kernel: sorted (term, run, doc_id, tf, fieldnorm)
     stream -> one row per (term, run) with posting blocks.
 
@@ -122,7 +122,7 @@ def _postings_rows(batches):
             out_r.append(int(runs[s]))
             out_df.append(int(e - s))
             # already sorted by doc_id within the group
-            out_b.append(build_blocks(ids[s:e], tfs[s:e], fns[s:e]))
+            out_b.append(build_blocks(ids[s:e], tfs[s:e], fns[s:e], codec))
         return pd.DataFrame(
             {"term": out_t, "run": out_r, "df_run": out_df, "blocks": out_b}
         )
@@ -202,6 +202,7 @@ def build_segment_dataframes(
     text_col: str,
     config: str = "english",
     n_buckets: int = DEFAULT_N_BUCKETS,
+    codec: str = "bitpack",
     persisted: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """docs(doc_id, text) -> (postings_df, doclen_df) for one segment.
@@ -252,23 +253,30 @@ def build_segment_dataframes(
         "tf",
         "fieldnorm",
     )
-    return postings_from_flat(flat, n_buckets), doclen
+    return postings_from_flat(flat, n_buckets, codec), doclen
 
 
-def postings_from_flat(flat: DataFrame, n_buckets: int) -> DataFrame:
+def postings_from_flat(
+    flat: DataFrame, n_buckets: int, codec: str = "bitpack"
+) -> DataFrame:
     """(term, run, doc_id, tf, fieldnorm) -> posting rows.
 
     The term-partitioned shuffle: hash by (term, run) — head terms
     shard across reducers by run — then sort within partitions so each
     (term, run) group is a contiguous sorted slice, consumed by the
     columnar mapInPandas block builder. Shared by bulk build, merge,
-    and vacuum."""
+    and vacuum. ``codec`` selects the block payload encoding
+    (bitpack default; varint alternative — see index/codec.py flags)."""
     spark = flat.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def rows(batches):
+        yield from _postings_rows(batches, codec)
+
     return (
         flat.repartition(n_shuffle, "term", "run")
         .sortWithinPartitions("term", "run", "doc_id")
-        .mapInPandas(_postings_rows, _POSTINGS_ROW_SCHEMA)
+        .mapInPandas(rows, _POSTINGS_ROW_SCHEMA)
         .withColumn("bucket", term_bucket_expr(F.col("term"), n_buckets))
     )
 
@@ -408,6 +416,7 @@ def build_index(
     k1: float = bm25.DEFAULT_K1,
     b: float = bm25.DEFAULT_B,
     lineage: dict | None = None,
+    codec: str = "bitpack",
 ) -> dict:
     """One-shot bulk build (reference: tp_build, build.c:1262-1600).
 
@@ -434,7 +443,7 @@ def build_index(
             docs = docs.select(doc_id_col, text_col)
         postings, doclen = build_segment_dataframes(
             docs, doc_id_col, text_col, config, n_buckets,
-            persisted=persisted,
+            codec=codec, persisted=persisted,
         )
         writer = IndexWriter(index_dir)
         keymap = None

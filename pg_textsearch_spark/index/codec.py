@@ -13,10 +13,24 @@ The reference decodes branchlessly with SIMD; our decode is numpy
 (unpackbits + dot), which is the Arrow-era equivalent: one vectorized
 kernel per block batch, no per-element Python.
 
-Layout (ours): ``[doc_id_bits:u8][freq_bits:u8][n:u8]``
-``[packed deltas][packed tfs][raw fieldnorms]`` — we add an explicit
-count byte (the reference keeps doc_count in the skip entry; we keep
-it in both so a payload is self-describing).
+Layouts (ours):
+
+- bitpack (default, reference-parity):
+  ``[doc_id_bits:u8][freq_bits:u8][n:u8]``
+  ``[packed deltas][packed tfs][raw fieldnorms]`` — we add an explicit
+  count byte (the reference keeps doc_count in the skip entry; we keep
+  it in both so a payload is self-describing).
+- flagged codecs: a leading flags byte with the high bit set selects
+  the codec (the reference's skip-entry ``flags`` byte anticipates
+  exactly this, format.h:241-245): ``0x80`` = bitpack (flagged form),
+  ``0x81`` = varint. The varint payload is
+  ``[0x81][n:u8][LEB128 deltas][LEB128 tfs][raw fieldnorms]`` —
+  little-endian base-128, the same wire integer the reference's
+  bm25vector uses (vector.h:160-167) and what the north rule names.
+  Legacy payloads (first byte < 0x80 = a bit width) stay decodable.
+
+Decode dispatches on the flags byte, so segments with mixed codecs
+coexist in one index.
 """
 
 from __future__ import annotations
@@ -25,6 +39,10 @@ import numpy as np
 
 BLOCK_SIZE = 128  # TP_BLOCK_SIZE, "matches Tantivy" (reference: format.h:208)
 MAX_COMPRESSED_BLOCK = 898  # reference: compression.h:32
+
+FLAG_BITPACK = 0x80
+FLAG_VARINT = 0x81
+CODECS = ("bitpack", "varint")
 
 
 def _width(max_val: int) -> int:
@@ -74,12 +92,63 @@ def _compress_small(doc_ids, tfs, fieldnorms) -> bytes:
     )
 
 
+def _varint_encode(values) -> bytes:
+    out = bytearray()
+    for v in values:
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def _varint_decode(buf: memoryview, off: int, n: int):
+    vals = np.empty(n, dtype=np.uint64)
+    for i in range(n):
+        shift = 0
+        acc = 0
+        while True:
+            b = buf[off]
+            off += 1
+            acc |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+        vals[i] = acc
+    return vals, off
+
+
+def _compress_varint(doc_ids, tfs, fieldnorms) -> bytes:
+    n = len(doc_ids)
+    deltas = [int(doc_ids[0])] + [
+        int(doc_ids[i]) - int(doc_ids[i - 1]) for i in range(1, n)
+    ]
+    assert int(max(tfs)) < (1 << 16)
+    return (
+        bytes([FLAG_VARINT, n - 1])
+        + _varint_encode(deltas)
+        + _varint_encode(tfs)
+        + bytes(int(x) for x in fieldnorms)
+    )
+
+
 def compress_block(
-    doc_ids: np.ndarray, tfs: np.ndarray, fieldnorms: np.ndarray
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    fieldnorms: np.ndarray,
+    codec: str = "bitpack",
 ) -> bytes:
     """Compress one posting block (strictly increasing doc_ids)."""
     n = len(doc_ids)
     assert 0 < n <= BLOCK_SIZE, n
+    if codec == "varint":
+        return _compress_varint(doc_ids, tfs, fieldnorms)
+    assert codec == "bitpack", codec
     if n <= 32:
         return _compress_small(doc_ids, tfs, fieldnorms)
     ids = np.asarray(doc_ids, dtype=np.uint64)
@@ -100,8 +169,23 @@ def compress_block(
 
 
 def decompress_block(payload: bytes):
-    """-> (doc_ids uint64, tfs uint32, fieldnorms uint8)."""
+    """-> (doc_ids uint64, tfs uint32, fieldnorms uint8).
+
+    Dispatches on the flags byte; payloads without one (first byte is
+    a bit width < 0x80) are legacy bitpack."""
     buf = memoryview(payload)
+    if buf[0] & 0x80:
+        flags = buf[0]
+        if flags == FLAG_VARINT:
+            n = buf[1] + 1
+            deltas, off = _varint_decode(buf, 2, n)
+            tfs, off = _varint_decode(buf, off, n)
+            fieldnorms = np.frombuffer(buf[off : off + n], dtype=np.uint8).copy()
+            return np.cumsum(deltas, dtype=np.uint64), tfs.astype(np.uint32), fieldnorms
+        if flags == FLAG_BITPACK:
+            buf = buf[1:]  # flagged form of the default layout
+        else:
+            raise ValueError(f"unknown posting codec flags byte 0x{flags:02x}")
     id_bits, tf_bits, n_minus_1 = buf[0], buf[1], buf[2]
     n = n_minus_1 + 1
     off = 3

@@ -84,3 +84,86 @@ def test_build_blocks_metadata():
     assert np.array_equal(rids, ids)
     assert np.array_equal(rtfs, tfs)
     assert np.array_equal(rfns, fns)
+
+
+# ---------------------------------------------------------------------------
+# varint codec (flags byte 0x81; the skip-entry flags the reference's
+# format.h:241-245 anticipates) — must round-trip identically to bitpack
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.integers(min_value=1, max_value=65535),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=128,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip_matches_bitpack(rows):
+    ids = np.cumsum([r[0] + 1 for r in rows]).astype(np.uint64)
+    tfs = np.asarray([r[1] for r in rows], dtype=np.uint32)
+    fns = np.asarray([r[2] for r in rows], dtype=np.uint8)
+    from pg_textsearch_spark.index.codec import compress_block, decompress_block
+
+    a = decompress_block(compress_block(ids, tfs, fns, codec="bitpack"))
+    b = decompress_block(compress_block(ids, tfs, fns, codec="varint"))
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+def test_varint_flags_byte():
+    from pg_textsearch_spark.index.codec import FLAG_VARINT, compress_block
+
+    ids = np.array([5, 10], dtype=np.uint64)
+    payload = compress_block(ids, np.array([1, 2], dtype=np.uint32),
+                             np.array([3, 4], dtype=np.uint8), codec="varint")
+    assert payload[0] == FLAG_VARINT
+    # legacy (unflagged) payloads start with a bit width < 0x80
+    legacy = compress_block(ids, np.array([1, 2], dtype=np.uint32),
+                            np.array([3, 4], dtype=np.uint8))
+    assert legacy[0] < 0x80
+
+
+def test_unknown_flags_byte_rejected():
+    from pg_textsearch_spark.index.codec import decompress_block
+
+    with pytest.raises(ValueError, match="unknown posting codec"):
+        decompress_block(bytes([0xFF, 1, 2, 3]))
+
+
+def test_mixed_codec_blocks_decode():
+    # one index can hold segments written with different codecs: the
+    # decode path dispatches per payload
+    ids = np.arange(1, 50, dtype=np.uint64) * 7
+    tfs = (ids % 9 + 1).astype(np.uint32)
+    fns = (ids % 200).astype(np.uint8)
+    blocks = build_blocks(ids, tfs, fns, codec="bitpack") + build_blocks(
+        ids + 1000, tfs, fns, codec="varint"
+    )
+    di, dt, df_ = decode_blocks(blocks)
+    assert len(di) == 98 and np.array_equal(di[:49], ids)
+
+
+def test_varint_index_end_to_end(spark, tmp_path):
+    from pg_textsearch_spark.index.builder import build_index
+    from pg_textsearch_spark.operators.bmw import topk_bmw
+    from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d1, d2 = str(tmp_path / "bp"), str(tmp_path / "vi")
+    build_index(spark, docs, d1, config="ascii", n_buckets=4)
+    build_index(spark, docs, d2, config="ascii", n_buckets=4, codec="varint")
+    i1, i2 = BM25Index(spark, d1), BM25Index(spark, d2)
+    for q in ["window", "spark query table"]:
+        a = [(r["rank"], r["doc_id"], round(r["score"], 9))
+             for r in topk_exhaustive(i1, q, 10).collect()]
+        b = [(r["rank"], r["doc_id"], round(r["score"], 9))
+             for r in topk_exhaustive(i2, q, 10).collect()]
+        assert a == b
+        w = [(r["rank"], r["doc_id"]) for r in topk_bmw(i2, q, 10).collect()]
+        assert w == [(x[0], x[1]) for x in a]
