@@ -118,11 +118,23 @@ def _postings_rows(batches, codec: str = "bitpack"):
         ends = np.concatenate((change, [len(pdf)]))
         out_t, out_r, out_df, out_b = [], [], [], []
         for s, e in zip(starts, ends):
+            gi, gt, gf = ids[s:e], tfs[s:e], fns[s:e]
+            if len(gi) > 1 and not np.all(gi[1:] > gi[:-1]):
+                # duplicate (term, doc) occurrences from the
+                # single-shuffle build: sum their tfs here (the
+                # removed groupBy stage, vectorized). fieldnorm is
+                # constant per doc -> first occurrence wins.
+                uids, first_idx, inv = np.unique(
+                    gi, return_index=True, return_inverse=True
+                )
+                gt = np.bincount(inv, weights=gt).astype(np.int64)
+                gf = gf[first_idx]
+                gi = uids
             out_t.append(terms[s])
             out_r.append(int(runs[s]))
-            out_df.append(int(e - s))
+            out_df.append(int(len(gi)))
             # already sorted by doc_id within the group
-            out_b.append(build_blocks(ids[s:e], tfs[s:e], fns[s:e], codec))
+            out_b.append(build_blocks(gi, gt, gf, codec))
         return pd.DataFrame(
             {"term": out_t, "run": out_r, "df_run": out_df, "blocks": out_b}
         )
@@ -207,24 +219,38 @@ def build_segment_dataframes(
 ) -> tuple[DataFrame, DataFrame]:
     """docs(doc_id, text) -> (postings_df, doclen_df) for one segment.
 
-    The whole pipeline is declarative: Catalyst fuses tokenize+tf into
-    one shuffle, doc_len reuses the token table, and the posting-list
-    "merge" of the reference's leader loop is simply the groupBy(term,
-    run) shuffle (reference: build_parallel.c:640-838 disappears here).
+    Shuffle budget (the build's scale story): word-parser configs run
+    ONE shuffle end-to-end — the (term, run) repartition feeding the
+    block builder. doc_len and fieldnorm are computed per *doc row*
+    before the explode (doc_len = surviving-token count; stemming
+    never changes the count), so no doc_id-keyed window/join ever
+    touches the token table, and the fieldnorm UDF runs once per doc
+    instead of once per token. Duplicate (term, doc) occurrences ride
+    the shuffle as tf=1 rows and are collapsed by the block-builder
+    kernel (map-side volume ~20-30%% higher than pre-aggregated pairs,
+    in exchange for dropping the whole groupBy(doc, term) stage — a
+    measured win). The posting-list "merge" of the reference's leader
+    loop is simply that one shuffle (build_parallel.c:640-838).
+
+    pg-parser configs (typed token classes) keep a two-stage shape:
+    the scanner kernel already emits unique (doc, term, tf), and
+    doc_len = sum(tf) over all emitted lexemes (compounds AND parts),
+    which is attached via a window like round 1.
     """
-    tokens = spark_token_table(docs, doc_id_col, text_col, config)
+    cfg = get_config(config) if isinstance(config, str) else config
+    if cfg.parser != "pg":
+        return _words_segment_dataframes(
+            docs, doc_id_col, text_col, cfg, n_buckets, codec, persisted
+        )
+    tokens = spark_token_table(docs, doc_id_col, text_col, cfg)
     tokens = tokens.withColumnRenamed(doc_id_col, "doc_id")
 
     # doc_len via a window over the token table: one pass, no join-back
-    # (a join would recompute the whole tokenize+stem pipeline twice)
+    # (a join would recompute the whole tokenize pipeline twice)
     w = Window.partitionBy("doc_id")
     toklen = tokens.withColumn(
         "doc_len", F.sum("tf").over(w).cast("long")
     ).withColumn("fieldnorm", _fieldnorm_udf()("doc_len"))
-    # postings and doclen are written as two separate actions; persist
-    # the token table so tokenize+stem runs once. (At cluster scale the
-    # same role is played by writing the token table to a staging
-    # location — see checkpointing in index/checkpoint.py.)
     toklen = toklen.persist(StorageLevel.MEMORY_AND_DISK)
     if persisted is not None:
         persisted.append(toklen)
@@ -251,6 +277,55 @@ def build_segment_dataframes(
         F.shiftright("doc_id", RUN_SHIFT).alias("run"),
         "doc_id",
         "tf",
+        "fieldnorm",
+    )
+    return postings_from_flat(flat, n_buckets, codec), doclen
+
+
+def _words_segment_dataframes(
+    docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    cfg,
+    n_buckets: int,
+    codec: str,
+    persisted: list | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Single-shuffle build for split-regex configs (see caller doc)."""
+    from pg_textsearch_spark.functions.tokenizer import (
+        _stem_udf,
+        raw_tokens_column,
+    )
+
+    toks = raw_tokens_column(F.col(text_col), cfg)
+    if cfg.stopwords:
+        stops = sorted(cfg.stopwords)
+        # InSet membership per element — JVM-side, no anti-join needed
+        toks = F.filter(toks, lambda t: ~t.isin(stops))
+    toks = F.coalesce(toks, F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(doc_id_col).cast("long").alias("doc_id"), toks.alias("toks")
+    ).withColumn("doc_len", F.size("toks").cast("long"))
+    base = base.withColumn("fieldnorm", _fieldnorm_udf()("doc_len"))
+    # doc-level rows only (id, toks, len, norm): far lighter to persist
+    # than the round-1 token-level table
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted is not None:
+        persisted.append(base)
+
+    # every doc appears, incl. ones tokenizing to nothing (doc_len 0)
+    doclen = base.select("doc_id", "doc_len", "fieldnorm")
+
+    tokens = base.select(
+        "doc_id", "fieldnorm", F.explode("toks").alias("term")
+    )
+    if cfg.do_stem:
+        tokens = tokens.withColumn("term", _stem_udf(cfg)("term"))
+    flat = tokens.select(
+        "term",
+        F.shiftright("doc_id", RUN_SHIFT).alias("run"),
+        "doc_id",
+        F.lit(1).cast("int").alias("tf"),
         "fieldnorm",
     )
     return postings_from_flat(flat, n_buckets, codec), doclen
