@@ -169,22 +169,27 @@ def assign_doc_ids(
 
     Plays the reference's docmap role: doc_id order == global key order
     (CTID order there, url order here; reference: docmap.c:172-181
-    "CTID order = doc_id order"). Implementation avoids the
-    single-partition global window: range-repartition by key, count per
-    partition (tiny collect), then broadcast-join partition offsets and
-    number rows within partitions only.
+    "CTID order = doc_id order"). ``key_col`` values must be unique
+    (they play the CTID's role).
 
-    The range-shuffled input stays persisted while the caller's actions
+    Shape: only the KEY COLUMN goes through the range shuffle — the
+    sample pass, the range exchange, and the within-partition sort all
+    touch ~n keys, never the document bodies (dragging text through
+    repartitionByRange measured ~10 s of an ~46 s 1M-doc build at 8
+    cores, and the sample job decoded the text column for nothing).
+    The (key, doc_id) table then hash-joins back onto the full rows —
+    one text shuffle, same as before, but sort-free. No single-
+    partition global window anywhere: ids come from per-partition
+    row_number + broadcast partition offsets (tiny collect).
+
+    The ranged key table stays persisted while the caller's actions
     run; pass ``persisted`` (a list the caller unpersists when done) to
     avoid executor-memory creep across many builds in one session.
     """
     spark = df.sparkSession
-    # persist the input: repartitionByRange samples the key (one extra
-    # pass) before the real shuffle — without this the upstream plan
-    # (e.g. a generator or a heavy scan) runs twice
-    df = df.persist()
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
-    ranged = df.repartitionByRange(n_parts, F.col(key_col)).withColumn(
+    keys = df.select(key_col)  # column-pruned: the scan reads only keys
+    ranged = keys.repartitionByRange(n_parts, F.col(key_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
     ranged = ranged.persist()
@@ -192,20 +197,21 @@ def assign_doc_ids(
         persisted.append(ranged)
     counts = {r["_pid"]: r["cnt"] for r in
               ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    # the counts collect materialized `ranged`; the sampling cache on
-    # the raw input is no longer needed
-    df.unpersist()
     offsets, acc = [], 0
     for pid in range(max(counts) + 1 if counts else 0):
         offsets.append((pid, acc))
         acc += counts.get(pid, 0)
     off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
     w = Window.partitionBy("_pid").orderBy(key_col)
-    return (
+    ids = (
         ranged.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, F.row_number().over(w) + F.col("_offset") - 1)
         .drop("_pid", "_offset")
     )
+    # SHUFFLE_HASH: a sort-merge join would sort the document bodies by
+    # key — exactly the cost this key-only design avoids. The hash
+    # table builds from the narrow ids side; the text side streams.
+    return df.join(ids.hint("SHUFFLE_HASH"), key_col)
 
 
 def build_segment_dataframes(

@@ -58,30 +58,42 @@ def insert_batch(
         max(s.get("max_doc_id", -1) for s in segments) + 1 if segments else 0
     )
 
-    if doc_id_col is None:
-        assert key_col is not None, "need doc_id_col or key_col"
-        # slim projection before the id shuffle (see build_index)
-        docs = assign_doc_ids(
-            docs.select(key_col, text_col), key_col
-        ).withColumn("doc_id", F.col("doc_id") + F.lit(next_doc))
-        doc_id_col = "doc_id"
+    persisted: list = []
+    try:
+        keymap = None
+        if doc_id_col is None:
+            assert key_col is not None, "need doc_id_col or key_col"
+            # slim projection before the id shuffle (see build_index)
+            docs = assign_doc_ids(
+                docs.select(key_col, text_col), key_col, persisted=persisted
+            ).withColumn("doc_id", F.col("doc_id") + F.lit(next_doc))
+            doc_id_col = "doc_id"
+            keymap = docs.select(
+                F.col(doc_id_col).cast("long").alias("doc_id"),
+                F.col(key_col).cast("string").alias("doc_key"),
+            )
 
-    # existing manifest wins; args only bootstrap a brand-new index
-    config = manifest.get("config", config)
-    n_buckets = manifest.get("n_buckets", n_buckets)
-    postings, doclen = build_segment_dataframes(
-        docs, doc_id_col, text_col, config, n_buckets
-    )
-    out = writer.write_segment(
-        postings,
-        doclen,
-        seg_id=next_seg,
-        config=config,
-        n_buckets=n_buckets,
-        k1=manifest.get("k1", 1.2),
-        b=manifest.get("b", 0.75),
-        lineage=lineage or {"batch": next_seg},
-    )
+        # existing manifest wins; args only bootstrap a brand-new index
+        config = manifest.get("config", config)
+        n_buckets = manifest.get("n_buckets", n_buckets)
+        postings, doclen = build_segment_dataframes(
+            docs, doc_id_col, text_col, config, n_buckets,
+            persisted=persisted,
+        )
+        out = writer.write_segment(
+            postings,
+            doclen,
+            seg_id=next_seg,
+            config=config,
+            n_buckets=n_buckets,
+            k1=manifest.get("k1", 1.2),
+            b=manifest.get("b", 0.75),
+            lineage=lineage or {"batch": next_seg},
+            keymap=keymap,
+        )
+    finally:
+        for h in persisted:
+            h.unpersist()
     if compact:
         out = maybe_compact(BM25Index(spark, index_dir), fan_in=fan_in)
     return out
