@@ -72,3 +72,57 @@ def test_stream_ingest_matches_bulk(spark, tmp_path):
     with open(os.path.join(idx_dir, "manifest.json")) as f:
         m = json.load(f)
     assert all("stream_batch" in s["lineage"] for s in m["segments"])
+
+
+def test_streaming_dedup_exact_state_across_batches(spark, tmp_path):
+    # custom stateful streaming operator (applyInPandasWithState):
+    # duplicate texts must be flagged ACROSS micro-batches (keyed state
+    # survives the trigger boundary), first occurrence wins
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_textsearch_spark.streaming.dedup_stream import (
+        streaming_dedup_exact,
+    )
+
+    ensure_shipped(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: text A twice (ids 1, 3) + text B once (id 2)
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": ["aaa", "bbb", "aaa"]}),
+        str(src / "b1.parquet"),
+    )
+    time.sleep(1.1)  # file-source orders micro-batches by mod time
+    # batch 2: text A again (id 10, dup via STATE) + new text C (id 11)
+    pq.write_table(
+        pa.table({"doc_id": [10, 11], "text": ["aaa", "ccc"]}),
+        str(src / "b2.parquet"),
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_dedup_exact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the cross-batch claim is only proven if the two files really ran
+    # as two separate triggers (state crossed a batch boundary)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, [p["numInputRows"] for p in q.recentProgress]
+    rows = {
+        r["doc_id"]: r["is_duplicate"]
+        for r in spark.table("dedup_stream_test").collect()
+    }
+    assert rows == {1: False, 2: False, 3: True, 10: True, 11: False}, rows
