@@ -83,6 +83,18 @@ _TOKEN_RE = re.compile(
 _SKIP = ("tag", "entity")
 _HAS_DIGIT = re.compile(r"\d")
 
+#: constant-time class dispatch: map every group index (incl. inner
+#: groups like u_host, which is always the LAST matched group of its
+#: alternative) to the outer token class — m.lastindex then resolves
+#: the class without probing 14 named groups per token
+_CLASS_OF_GROUP = {}
+for _name, _idx in _TOKEN_RE.groupindex.items():
+    _outer = {
+        "u_host": "url", "u_path": "url",
+        "h_host": "hosturl", "h_path": "hosturl",
+    }.get(_name, _name)
+    _CLASS_OF_GROUP[_idx] = _outer
+
 
 def pg_scan(text: str):
     """Yield (token_class, token_text) over raw (non-lowercased) text.
@@ -91,15 +103,7 @@ def pg_scan(text: str):
     url_path]); a hyphenated word emits the compound then each part.
     """
     for m in _TOKEN_RE.finditer(text):
-        kind = None
-        for k in (
-            "tag", "entity", "url", "email", "hosturl", "host", "file",
-            "sfloat", "version", "float", "uint", "hword", "numword",
-            "word",
-        ):
-            if m.group(k) is not None:
-                kind = k
-                break
+        kind = _CLASS_OF_GROUP[m.lastindex]
         if kind in _SKIP:
             continue
         if kind == "url":
