@@ -318,6 +318,19 @@ def _stem_udf(cfg: TokenizerConfig):
     return _stem
 
 
+def flatten_text_array(col: Column | str) -> Column:
+    """``text[]`` -> one space-joined text, skipping NULL and empty
+    elements (operator I4; reference: tp_flatten_text_array,
+    src/types/array.c:36-70). BM25 over the flattened column matches
+    the concatenated-scalar equivalent exactly (the reference documents
+    the same invariant, test/sql/text_array.sql:27-55) — apply before
+    ``build_index`` to index an array column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(
+        F.filter(c, lambda x: x.isNotNull() & (x != F.lit(""))), " "
+    )
+
+
 def raw_tokens_column(text_col: Column, config: TokenizerConfig) -> Column:
     """array<string> of lowercased raw word tokens — pure JVM expression."""
     toks = F.split(F.lower(text_col), config.sql_split_pattern)

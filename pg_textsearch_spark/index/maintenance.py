@@ -40,6 +40,9 @@ def describe_index(index: BM25Index) -> dict:
         "total_tokens": index.total_tokens,
         "avgdl": index.avgdl,
         "num_segments": len(per_seg),
+        "deleted_docs": int(index.manifest.get("deleted_docs", 0)),
+        "has_keymap": any(s.get("has_keymap") for s in
+                          index.manifest["segments"]),
         "segments": per_seg,
     }
 

@@ -154,3 +154,43 @@ def test_bootstrap_collect_is_bounded_by_k(spark, tmp_path_factory):
     assert stats["phase1_rows"] <= k, stats
     assert stats["phase2_rows"] <= k, stats
     assert [r["doc_id"] for r in bst] == [r["doc_id"] for r in exh]
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_randomized_multisegment_delete_parity(spark, tmp_path_factory, seed):
+    # randomized end-to-end fuzz: incremental multi-segment index,
+    # random zipf-ish docs spanning runs, deletes applied, then every
+    # scoring path (exhaustive / BMW / BMW+bootstrap) must agree
+    from pg_textsearch_spark.index.deletes import delete_docs
+    from pg_textsearch_spark.streaming.incremental import insert_batch
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"v{i}" for i in range(50)]
+    path = str(tmp_path_factory.mktemp(f"fuzz{seed}") / "idx")
+    next_id = 0
+    for batch in range(3):
+        rows = []
+        for _ in range(120):
+            n = int(rng.integers(2, 25))
+            ids = np.minimum(rng.zipf(1.4, n) - 1, len(vocab) - 1)
+            rows.append((next_id, " ".join(vocab[i] for i in ids)))
+            # leave doc_id gaps so segments span multiple runs
+            next_id += int(rng.integers(1, 200))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        insert_batch(spark, path, docs, doc_id_col="doc_id",
+                     compact=False, config="ascii", n_buckets=4)
+    idx = BM25Index(spark, path)
+    victims = [r["doc_id"] for r in
+               topk_exhaustive(idx, "v0 v1", 7).collect()][:3]
+    delete_docs(idx, victims)
+    idx = BM25Index(spark, path)
+    for q in ["v0", "v0 v1", "v1 v2 v5", "v0 v0 v3", "v2 v7 v11 v19"]:
+        exh = topk_exhaustive(idx, q, 10).collect()
+        for bootstrap in (False, True):
+            bmw = topk_bmw(idx, q, 10, bootstrap=bootstrap).collect()
+            assert [r["doc_id"] for r in exh] == [
+                r["doc_id"] for r in bmw
+            ], (q, bootstrap)
+            for e, w in zip(exh, bmw):
+                assert abs(e["score"] - w["score"]) <= 1e-9, (q, e, w)
+        assert not ({r["doc_id"] for r in exh} & set(victims))

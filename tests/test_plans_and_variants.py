@@ -51,14 +51,10 @@ def test_text_array_flatten_invariant(spark, tmp_path):
         (2, ["goodbye cruel world", ""]),
         (3, ["hello world"]),
     ]
+    from pg_textsearch_spark.functions.tokenizer import flatten_text_array
+
     arr = spark.createDataFrame(arr_rows, "doc_id long, content array<string>")
-    flat = arr.select(
-        "doc_id",
-        F.array_join(
-            F.filter("content", lambda x: x.isNotNull() & (x != F.lit(""))),
-            " ",
-        ).alias("text"),
-    )
+    flat = arr.select("doc_id", flatten_text_array("content").alias("text"))
     scalar_rows = [
         (1, "the quick brown fox jumped over the lazy dog"),
         (2, "goodbye cruel world"),
