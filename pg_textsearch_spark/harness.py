@@ -478,6 +478,23 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_exhaustive(idx, "t0 t1 t2", k=10)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical k-means lists + n_probe scan): rows-only —
+    recall < 1 by construction; pinned vs brute force by pytest."""
+    from pg_textsearch_spark.operators.knn import ann_ivf_topk
+
+    ensure_shipped(spark)
+    emb = embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    res = ann_ivf_topk(emb, queries, k=10, n_lists=16, n_probe=6)
+    return res.select(
+        "query_id", "rank", "vec_id", F.round("cos", 6).alias("cos")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_textsearch_spark.functions import textstats as ts
 
@@ -667,6 +684,7 @@ def harness_queries() -> dict:
         "dedup_embedding_lsh": q_embedding_neardup_lsh,
         "knn_cosine_topk": q_knn_topk,
         "knn_ann_lsh": q_ann_lsh,
+        "knn_ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
         "search_facets": q_search_facets,
         "pages_e2e_pipeline": q_pages_pipeline,

@@ -5,18 +5,27 @@
   ``zip_with``/``aggregate`` fold in float64 (bit-identical to a
   left-to-right SQL sum — the oracle gate relies on this), and the
   global top-k per query is a TakeOrderedAndProject.
-- ``ann_lsh_topk``: random-hyperplane LSH buckets as the scale path:
-  probe only vectors sharing >= 1 of `probes` sketch bands with the
-  query, exact-rescore the candidates. Recall vs brute force is
-  pytest-pinned; not SQL-expressible (rows-only driver check).
+- ``ann_lsh_topk``: random-hyperplane LSH buckets as a scale path:
+  probe only vectors sharing >= 1 of `bands` sketch bands with the
+  query, exact-rescore the candidates.
+- ``ann_ivf_topk``: the inverted-file alternative: spherical k-means
+  on a deterministic sample fits ``n_lists`` centroids driver-side,
+  every vector is assigned to its nearest list (Arrow-batched numpy
+  matmul), and a query scans only its ``n_probe`` nearest lists. At
+  corpus scale the assignment column is precomputed once and the list
+  id becomes a partition key — the probe is then partition pruning.
 
-At 100 TB the brute-force path is the per-bucket verifier inside the
-LSH/IVF partitioner, not a standalone scan — the composition here
-mirrors that: same scoring expression, different candidate generator.
+Both ANN paths are recall<1 by construction -> pytest-pinned vs brute
+force; not SQL-expressible (rows-only driver checks). At 100 TB the
+brute-force path is the per-bucket verifier inside the LSH/IVF
+partitioner, not a standalone scan — the composition here mirrors
+that: same scoring expression, different candidate generator.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -159,6 +168,118 @@ def ann_lsh_topk(
         _cos_expr("vec_v", "q_v", _norm_expr("vec_v"), _norm_expr("q_v")).alias(
             "cos"
         ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def _fit_centroids(
+    emb: DataFrame, vec_col: str, id_col: str, n_lists: int,
+    sample_size: int, iters: int, seed: int
+) -> np.ndarray:
+    """Spherical k-means on a deterministic hash-sample, driver-side.
+
+    The sample is tiny (<= sample_size rows); fitting is pure numpy.
+    Determinism: rows are picked by xxhash64(id) order, never by
+    partition order, so the same corpus always yields the same lists.
+    """
+    frac_rows = (
+        emb.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+            F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(int(sample_size))
+        .collect()
+    )
+    x = np.asarray([r["_v"] for r in frac_rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    k = min(n_lists, len(x))
+    # deterministic init: first k sample rows (already hash-shuffled)
+    c = x[:k].copy()
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def _assign_udf(centroids: np.ndarray):
+    from pyspark.sql.functions import pandas_udf
+
+    flat = centroids.tolist()  # closure ships the (tiny) centroid matrix
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        c = np.asarray(flat, dtype=np.float64)
+        m = np.asarray(list(vecs), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+    sample_size: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate cosine top-k: (query_id, rank, vec_id, cos).
+
+    Scan fraction ~ n_probe/n_lists; recall grows with n_probe
+    (pytest-pinned vs brute force). Candidates are exact-rescored in
+    float64 with the same expression as ``knn_bruteforce``.
+    """
+    spark = emb.sparkSession
+    cents = _fit_centroids(
+        emb, vec_col, id_col, n_lists, sample_size, iters, seed
+    )
+    assigned = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(vec_col).alias("n_v"),
+        _assign_udf(cents)(F.col(vec_col)).alias("list_id"),
+    )
+    # driver-side probe lists per query (queries are a small batch)
+    qrows = queries.select(
+        F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qv")
+    ).collect()
+    qm = np.asarray([r["qv"] for r in qrows], dtype=np.float64)
+    qm_n = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qm_n @ cents.T), axis=1)[:, : int(n_probe)]
+    probe_rows = [
+        (r["query_id"], r["qv"], [int(p) for p in probes[i]])
+        for i, r in enumerate(qrows)
+    ]
+    qdf = spark.createDataFrame(
+        probe_rows,
+        f"query_id long, qv array<double>, probe array<int>",
+    ).select(
+        "query_id", "qv", _norm_expr("qv").alias("n_q"),
+        F.explode("probe").alias("list_id"),
+    )
+    cand = assigned.join(F.broadcast(qdf), "list_id")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        _cos_expr("v", "qv", F.col("n_v"), F.col("n_q")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

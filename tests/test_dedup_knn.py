@@ -176,3 +176,39 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     for r in ann:
         if r["rank"] == 1:
             assert r["vec_id"] == r["query_id"]
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    from pg_textsearch_spark.operators.knn import ann_ivf_topk
+    from pg_textsearch_spark.plans.explain import assert_no_nested_loop
+
+    ensure_shipped(spark)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = knn_bruteforce(emb, queries, k=5).collect()
+    ivf = ann_ivf_topk(emb, queries, k=5, n_lists=8, n_probe=3)
+    assert_no_nested_loop(ivf)
+    ivf_rows = ivf.collect()
+    bf_set = {(r["query_id"], r["vec_id"]) for r in bf}
+    ivf_set = {(r["query_id"], r["vec_id"]) for r in ivf_rows}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    # probing 3 of 8 lists on random-ish vectors: modest but real
+    assert recall >= 0.5, recall
+    # rank 1 must be the query itself (its own list is always probed)
+    for r in ivf_rows:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+
+
+def test_ann_ivf_deterministic(spark):
+    from pg_textsearch_spark.operators.knn import ann_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = [tuple(r) for r in ann_ivf_topk(emb, queries, k=5).collect()]
+    b = [tuple(r) for r in ann_ivf_topk(emb, queries, k=5).collect()]
+    assert sorted(a) == sorted(b)
