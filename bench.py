@@ -126,6 +126,19 @@ def main() -> None:
     if not SKIP_SCALING:
         import subprocess
 
+        # pre-generate the synthetic corpora at FULL parallelism in a
+        # dedicated subprocess: on a clean /tmp the 2-core child would
+        # otherwise burn minutes generating 2M pages at 2 cores (a
+        # separate process so the parent's later timed session is this
+        # JVM's first SparkContext — a reused-JVM second context runs
+        # 3-5x slower)
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "PGTS_PREP_ONLY": "1",
+                 "SPARK_GRAFT_PAGES": str(N_PAGES)},
+            capture_output=True, text=True, timeout=3600,
+        )
+
         # N=2 vs 4N=8: measured raw process scaling on this box is
         # ~0.93 at 2->8 and ~0.58 at 8->32 (SMT ceiling); the Spark
         # efficiency is only meaningful below the hardware knee.
@@ -235,8 +248,18 @@ def _scale_child(cores: int) -> None:
     print(sec)
 
 
+def _prep_only() -> None:
+    """Subprocess entry: materialize the scaling corpora, untimed."""
+    spark = _new_session(CPUS, "prep")
+    _prepare_pages(spark, min(max(N_PAGES // 10, 2000), 100_000), seed=7)
+    _prepare_pages(spark, N_PAGES)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if os.environ.get("PGTS_SCALE_CORES"):
+    if os.environ.get("PGTS_PREP_ONLY"):
+        _prep_only()
+    elif os.environ.get("PGTS_SCALE_CORES"):
         _scale_child(int(os.environ["PGTS_SCALE_CORES"]))
     else:
         main()
