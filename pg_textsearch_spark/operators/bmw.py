@@ -417,12 +417,25 @@ def decode_blocks_list(blocks):
 #: bottleneck (cluster-scale head terms); pass bootstrap=True to force.
 BOOTSTRAP_MIN_POSTINGS = 10_000_000
 
+#: below this many total postings (sum of the query terms' dfs, known
+#: driver-side before planning) a multi-term query runs as ONE task
+#: with a single shared heap: ``coalesce(1)`` is a narrow operation —
+#: no exchange — and WAND is correct over the full cursor set because
+#: runs hold disjoint doc ranges (a doc appears in at most one cursor
+#: per term). This is literally the reference's single-node algorithm,
+#: and it beats the groupBy(run) shuffle whenever total decode work is
+#: smaller than a shuffle round-trip (~0.15 s locally). Above the
+#: threshold the run-sharded plan takes over (cluster-scale head
+#: terms). Override per call with ``small_query_postings``.
+SMALL_QUERY_POSTINGS = 500_000
+
 
 def topk_bmw(
     index,
     query: str,
     k: int = 10,
     bootstrap: bool | None = None,
+    small_query_postings: int | None = None,
     _bootstrap_stats: dict | None = None,
 ) -> DataFrame:
     """Distributed BMW top-k. Same result contract as topk_exhaustive
@@ -495,6 +508,12 @@ def topk_bmw(
             }
         )
 
+    small_cut = (
+        SMALL_QUERY_POSTINGS
+        if small_query_postings is None
+        else small_query_postings
+    )
+    total_postings = sum(dfs.get(t, 0) for t in wmap)
     if single:
         # single-term queries need no cross-term alignment: every
         # (term, run) row is an independent posting list, so score each
@@ -509,6 +528,20 @@ def topk_bmw(
 
         per_run = pruned.mapInPandas(
             score_partition, "doc_id bigint, score double"
+        )
+    elif total_postings <= small_cut:
+        # small multi-term query: one task, one shared heap, no
+        # exchange (see SMALL_QUERY_POSTINGS) — all Arrow batches of
+        # the single coalesced partition must reach one WAND call
+        def score_all(batches):
+            pdfs = list(batches)
+            if pdfs:
+                out = score_run(pd.concat(pdfs, ignore_index=True))
+                if len(out):
+                    yield out
+
+        per_run = pruned.coalesce(1).mapInPandas(
+            score_all, "doc_id bigint, score double"
         )
     else:
         per_run = pruned.groupBy("run").applyInPandas(

@@ -20,16 +20,23 @@ def _build(spark, docs_rows, path, **kw):
 
 def _assert_parity(idx, query, k=10):
     exh = topk_exhaustive(idx, query, k).collect()
-    bmw = topk_bmw(idx, query, k).collect()
-    assert len(exh) == len(bmw), (len(exh), len(bmw))
-    for e, w in zip(exh, bmw):
-        # BMW emits the exact f64 score (f32 only prunes); the two
-        # paths differ only in per-doc summation order -> last-ulp
-        assert abs(e["score"] - w["score"]) <= 1e-9, (e, w)
-    # doc order must agree wherever scores are not tied at the boundary
-    e_scores = [round(r["score"], 6) for r in exh]
-    if len(set(e_scores)) == len(e_scores):
-        assert [r["doc_id"] for r in exh] == [r["doc_id"] for r in bmw]
+    # both physical plans must agree with exhaustive: the default
+    # (small queries take the one-task no-exchange path on these
+    # corpora) AND the run-sharded shuffle plan (forced with
+    # small_query_postings=0 — the cluster-scale head-term plan)
+    for sqp in (None, 0):
+        bmw = topk_bmw(idx, query, k, small_query_postings=sqp).collect()
+        assert len(exh) == len(bmw), (sqp, len(exh), len(bmw))
+        for e, w in zip(exh, bmw):
+            # BMW emits the exact f64 score (f32 only prunes); the two
+            # paths differ only in per-doc summation order -> last-ulp
+            assert abs(e["score"] - w["score"]) <= 1e-9, (sqp, e, w)
+        # doc order must agree where scores are not tied at the boundary
+        e_scores = [round(r["score"], 6) for r in exh]
+        if len(set(e_scores)) == len(e_scores):
+            assert [r["doc_id"] for r in exh] == [
+                r["doc_id"] for r in bmw
+            ], sqp
 
 
 @pytest.fixture(scope="module")
