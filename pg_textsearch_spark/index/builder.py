@@ -164,13 +164,22 @@ def assign_doc_ids(
     key_col: str,
     out_col: str = "doc_id",
     persisted: list | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Dense global doc_ids 0..n-1 in ``key_col`` order, scalably.
 
     Plays the reference's docmap role: doc_id order == global key order
     (CTID order there, url order here; reference: docmap.c:172-181
     "CTID order = doc_id order"). ``key_col`` values must be unique
-    (they play the CTID's role).
+    (they play the CTID's role) AND the input plan must be
+    DETERMINISTIC under re-evaluation: only the key column is persisted
+    through the range shuffle, so ``df`` itself is executed twice (key
+    pass + final hash join). A source whose keys change between
+    evaluations (rand()/sampled/non-stable generators) would silently
+    drop or mis-key documents via the inner join — persist such inputs
+    before calling, or pass ``validate=True`` to pay one extra count
+    job that fails loudly when the joined row count differs from the
+    key count.
 
     Shape: only the KEY COLUMN goes through the range shuffle — the
     sample pass, the range exchange, and the within-partition sort all
@@ -211,7 +220,18 @@ def assign_doc_ids(
     # SHUFFLE_HASH: a sort-merge join would sort the document bodies by
     # key — exactly the cost this key-only design avoids. The hash
     # table builds from the narrow ids side; the text side streams.
-    return df.join(ids.hint("SHUFFLE_HASH"), key_col)
+    joined = df.join(ids.hint("SHUFFLE_HASH"), key_col)
+    if validate:
+        n_keys = sum(counts.values())
+        n_joined = joined.count()
+        if n_joined != n_keys:
+            raise ValueError(
+                f"assign_doc_ids: joined row count {n_joined} != key "
+                f"count {n_keys} — the input plan re-evaluated "
+                f"non-deterministically (or keys are not unique); "
+                f"persist the input before calling"
+            )
+    return joined
 
 
 def build_segment_dataframes(

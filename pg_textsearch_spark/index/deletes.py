@@ -24,10 +24,11 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pg_textsearch_spark.index.builder import IndexWriter
+from pg_textsearch_spark.functions.fieldnorm import FIELDNORM_DECODE_TABLE
+from pg_textsearch_spark.index.builder import IndexWriter, RUN_SHIFT
 from pg_textsearch_spark.operators.topk import (
     BM25Index,
-    _fieldnorm_decode_expr,
+    decode_postings_flat,
 )
 
 
@@ -35,9 +36,25 @@ def _deletes_path(index_dir: str) -> str:
     return os.path.join(index_dir, "deletes")
 
 
+def _dead_dfs_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "dead_dfs")
+
+
 def delete_docs(index: BM25Index, doc_ids: DataFrame | list[int]) -> dict:
     """Mark doc_ids deleted (tp_bulkdelete analog). Appends to the
-    deletes table and updates manifest-level dead stats."""
+    deletes table, records per-term dead doc counts, and updates
+    manifest-level dead stats.
+
+    The per-term counts (``dead_dfs`` table) are the delete-time
+    amortization of IDF correction: one run-pruned postings decode per
+    delete BATCH writes (term, dead_df) rows, and every subsequent
+    query corrects doc_freq with a tiny dictionary-style lookup instead
+    of decoding its terms' full posting lists (head terms made that
+    per-query correction expensive between vacuums). The decode is
+    pruned by ``run IN (dead runs)`` — a dead doc only affects posting
+    rows of its own 2^RUN_SHIFT range, so a small delete batch touches
+    a small fraction of the postings table.
+    """
     spark = index.spark
     if isinstance(doc_ids, list):
         doc_ids = spark.createDataFrame(
@@ -48,21 +65,39 @@ def delete_docs(index: BM25Index, doc_ids: DataFrame | list[int]) -> dict:
     existing = index.doclen().select("doc_id", "fieldnorm")
     already = index.deleted_ids()
     eff = new_del.join(existing, "doc_id").join(already, "doc_id", "left_anti")
+    # one collect; everything downstream works from this snapshot so a
+    # non-deterministic input can't diverge between the stats pass and
+    # the table write (delete batches are small by policy — vacuum
+    # before they grow)
+    eff_rows = eff.select("doc_id", "fieldnorm").collect()
+    n_dead = len(eff_rows)
     # quantized-length correction for the dead docs (merge.c:842-866)
-    stats = eff.select(
-        F.count("*").alias("n"),
-        F.coalesce(
-            F.sum(_fieldnorm_decode_expr(F.col("fieldnorm"))), F.lit(0.0)
-        ).alias("dead_tokens"),
-    ).collect()[0]
-    eff.select("doc_id").write.mode("append").parquet(_deletes_path(index.index_dir))
+    dead_tokens = int(
+        sum(int(FIELDNORM_DECODE_TABLE[int(r["fieldnorm"])]) for r in eff_rows)
+    )
+    dead_ids = [int(r["doc_id"]) for r in eff_rows]
+    if dead_ids:
+        eff_df = spark.createDataFrame([(i,) for i in dead_ids], "doc_id bigint")
+        eff_df.write.mode("append").parquet(_deletes_path(index.index_dir))
+        # per-term dead counts: decode only posting rows in the dead
+        # docs' runs, count hits per term
+        runs = sorted({i >> RUN_SHIFT for i in dead_ids})
+        hit = index.postings().filter(F.col("run").isin(runs))
+        per_term = (
+            decode_postings_flat(hit)
+            .select("term", "doc_id")
+            .join(F.broadcast(eff_df), "doc_id")
+            .groupBy("term")
+            .agg(F.count("*").alias("dead_df"))
+        )
+        per_term.write.mode("append").parquet(_dead_dfs_path(index.index_dir))
 
     writer = IndexWriter(index.index_dir)
     manifest = writer.read_manifest()
-    manifest["deleted_docs"] = manifest.get("deleted_docs", 0) + int(stats["n"])
+    manifest["deleted_docs"] = manifest.get("deleted_docs", 0) + n_dead
     manifest["deleted_tokens_quantized"] = manifest.get(
         "deleted_tokens_quantized", 0
-    ) + int(stats["dead_tokens"])
+    ) + dead_tokens
     writer._commit_manifest(manifest)
     index.manifest = manifest
     return manifest
@@ -83,10 +118,11 @@ def vacuum(index: BM25Index) -> dict:
     # merge_segments decodes + regroups; the dead filter rides the
     # decoded stream via a pre-registered anti-join hook
     manifest = merge_segments(index, seg_ids, new_id, drop_doc_ids=dead)
-    # clear the deletes table + counters
+    # clear the deletes table, per-term dead counts, and counters
     import shutil
 
     shutil.rmtree(_deletes_path(index.index_dir), ignore_errors=True)
+    shutil.rmtree(_dead_dfs_path(index.index_dir), ignore_errors=True)
     writer = IndexWriter(index.index_dir)
     manifest = writer.read_manifest()
     manifest["deleted_docs"] = 0

@@ -114,10 +114,17 @@ def merge_segments(
     writer.store.write(merged_doclen, "doclen", new_seg_id)
     # carry the doc_id -> key map through the merge (ids never change;
     # dropped docs leave the map)
-    has_keymap = all(s.get("has_keymap") for s in segs)
+    # a PARTIAL keymap survives a mixed merge (some sources built with
+    # key_col, some inserted with pre-assigned ids): read keymaps only
+    # from the sources that have one and carry them forward — docs
+    # without a key resolve to NULL via resolve_keys' left join. Using
+    # all() here would skip the write and then reclaim (delete) the
+    # source keymap files below, silently destroying the mapping.
+    km_src = sorted(s["seg_id"] for s in segs if s.get("has_keymap"))
+    has_keymap = bool(km_src)
     if has_keymap:
         km = writer.store.read(
-            spark, "keymap", sorted(seg_set), "doc_id bigint, doc_key string"
+            spark, "keymap", km_src, "doc_id bigint, doc_key string"
         )
         if drop_doc_ids is not None:
             km = km.join(F.broadcast(drop_doc_ids), "doc_id", "left_anti")

@@ -154,22 +154,38 @@ class _Cursor:
             self._load_block(self.bi + 1)
 
 
-#: extra heap slots per run beyond k: the heap ranks by float32 (the
-#: reference's index-scan arithmetic) but the global merge ranks by the
-#: exact float64 score — a doc (k+1)-th by f32 could be k-th by f64
-#: when the two scores straddle within an f32 ulp. Padding the run-
-#: local heap makes such boundary flips survive to the global sort.
+#: extra heap slots per run beyond k. Eviction ranks by the exact
+#: float64 score (same order as the global merge), so the pad is no
+#: longer load-bearing for correctness — it only adds margin to the
+#: pruning threshold (the threshold is taken from the heap ROOT, i.e.
+#: the (k+PAD)-th best, which is <= the k-th best: strictly more
+#: conservative skipping at negligible memory cost).
 HEAP_PAD = 8
+
+#: relative shave applied when a float64 heap score becomes a float32
+#: pruning threshold: block upper bounds are computed in f32 while heap
+#: scores are exact f64, and per-term f32 rounding is ~6e-8 relative
+#: per operation — 4e-6 covers any realistic term count with two
+#: orders of magnitude to spare. Same guard as the bootstrap floor.
+_THRESH_GUARD = 4e-6
 
 
 class _TopK:
-    """min-heap of (score32, -doc_id, score64): threshold = root when
-    full.
+    """min-heap of (score64, -doc_id, score32) — eviction and the
+    emitted rows rank by the exact float64 score, the SAME order the
+    global merge uses, so a run-local heap can never drop a doc the
+    global top-k needs (round-2 HEAP_PAD only bounded that
+    heuristically; many docs tied within an f32 ulp could overflow it).
+
+    Float32 stays exactly where the reference uses it: in the block-
+    max/threshold PRUNING decisions, which remain conservative — the
+    threshold exposed to the skip logic is the root's f64 score shaved
+    by ``_THRESH_GUARD`` so f32 upper bounds can never round a true
+    top-k doc below it.
 
     Tie-break: equal scores -> lower doc_id wins (reference:
     bmw.c:105-122,301-319) — hence -doc_id in the heap key so the
-    *higher* doc_id is evicted first. score64 rides along (same doc ->
-    never compared).
+    *higher* doc_id is evicted first.
 
     ``floor`` is an externally-proven lower bound on the global k-th
     best score (the two-phase bootstrap): runs skip blocks below it
@@ -180,21 +196,32 @@ class _TopK:
         self.k = k + HEAP_PAD
         self.floor = floor
         self.heap: list[tuple[float, int, float]] = []
+        self._thr = -1.0
 
     def push(self, score: float, doc_id: int, score64: float) -> None:
-        item = (score, -doc_id, score64)
+        item = (score64, -doc_id, score)
         if len(self.heap) < self.k:
             heapq.heappush(self.heap, item)
+            if len(self.heap) == self.k:
+                self._update_thr()
         elif item[:2] > self.heap[0][:2]:
             heapq.heapreplace(self.heap, item)
+            self._update_thr()
+
+    def _update_thr(self) -> None:
+        root = self.heap[0][0]
+        self._thr = (
+            float(np.float32(root) * (1.0 - _THRESH_GUARD))
+            if root > 0
+            else float(np.float32(root))
+        )
 
     @property
     def threshold(self) -> float:
-        local = self.heap[0][0] if len(self.heap) >= self.k else -1.0
-        return max(local, self.floor)
+        return max(self._thr, self.floor)
 
     def rows(self):
-        return [(-nd, s, s64) for s, nd, s64 in self.heap]
+        return [(-nd, s, s64) for s64, nd, s in self.heap]
 
 
 def _score_single_term(
@@ -465,19 +492,21 @@ def topk_bmw(
     iqmap = {t: (float(idf), int(qf)) for t, (idf, qf) in weights.items()}
     single = len(wmap) == 1
     kk = int(k)
-    # alive filtering: ship the dead-id set into the scoring kernel
-    # (the per-segment bitset analog). Deletes are a small fraction of
-    # the corpus between vacuums; at larger volumes vacuum first.
-    dead_all: set[int] | None = None
+    # alive filtering: ship the dead-id set to the scoring kernels as a
+    # TorrentBroadcast (the per-segment bitset analog) — one copy per
+    # executor, fetched lazily, instead of a closure literal serialized
+    # into every task. Deletes are a small fraction of the corpus
+    # between vacuums; at larger volumes vacuum first.
+    dead_bc = None
     if index.has_deletes():
-        dead_all = {
-            r["doc_id"] for r in index.deleted_ids().collect()
-        }
+        dead_bc = spark.sparkContext.broadcast(
+            frozenset(r["doc_id"] for r in index.deleted_ids().collect())
+        )
 
     pruned = index.pruned_postings(list(wmap)).select("term", "run", "blocks")
 
     floor = -1.0
-    if bootstrap and dead_all is None:
+    if bootstrap and dead_bc is None:
         # deletes would make bootstrap scores unsafe bounds (a dead doc
         # could hold the k-th slot) — skip bootstrap under deletes
         floor = _bootstrap_floor(
@@ -495,10 +524,11 @@ def topk_bmw(
         cursors = [c for c in cursors if c.alive]
         if not cursors:
             return pd.DataFrame({"doc_id": [], "score": []})
+        dead = dead_bc.value if dead_bc is not None else None
         rows = (
-            _score_single_term(cursors, kk, dead_all, floor)
+            _score_single_term(cursors, kk, dead, floor)
             if single
-            else _score_wand(cursors, kk, dead_all, floor)
+            else _score_wand(cursors, kk, dead, floor)
         )
         # emit the exact f64 score; f32 was only the pruning arithmetic
         return pd.DataFrame(

@@ -26,17 +26,16 @@ from pg_textsearch_spark.functions.tokenizer import spark_token_table, tokenize_
 
 
 def _quantize_expr(dl_col):
-    """raw doc_len -> decode(encode(len)) as a JVM array lookup +
-    searchsorted-equivalent (binary CASE is generated SQL-side; here we
-    use the monotone table with element_at over a precomputed bucket)."""
-    # largest table index with value <= dl: computed via aggregate over
-    # the 256 literals would be wasteful; use float log trick? Keep it
-    # simple and exact: a chained when() over the 256 boundaries is
-    # constant-folded by Catalyst into a binary-searchable expression.
-    expr = F.lit(int(FIELDNORM_DECODE_TABLE[0]))
-    for v in [int(x) for x in FIELDNORM_DECODE_TABLE[1:]]:
-        expr = F.when(dl_col >= v, F.lit(v)).otherwise(expr)
-    return expr.cast("double")
+    """raw doc_len -> decode(encode(len)): searchsorted over the
+    monotone 256-entry decode table as ONE array expression —
+    ``element_at(table, size(filter(table, v -> v <= dl)))`` picks the
+    largest table value <= dl (table[0] = 0 and dl >= 0, so the filter
+    is never empty). Same element_at-on-the-literal-table pattern as
+    topk._fieldnorm_decode_expr; the round-2 version chained 256
+    ``when()`` branches and bloated every generated plan."""
+    table = F.array(*[F.lit(int(v)) for v in FIELDNORM_DECODE_TABLE])
+    idx = F.size(F.filter(table, lambda v: v <= dl_col))
+    return F.element_at(table, F.greatest(idx, F.lit(1))).cast("double")
 
 
 def score_texts(

@@ -82,6 +82,12 @@ class BM25Index:
         s = self._stamp()
         if s != self._cache_stamp:
             self._df_cache = {}
+            if self._dictionary_df is not None:
+                # release the pinned cache before dropping the handle —
+                # otherwise repeated invalidations (delete/merge cycles
+                # in a long session) stack dead cached copies in
+                # executor memory
+                self._dictionary_df.unpersist()
             self._dictionary_df = None
             self._postings_df = None
             self._cache_stamp = s
@@ -89,8 +95,12 @@ class BM25Index:
     def prewarm(self) -> None:
         """Pin the dictionary in cluster memory and materialize it —
         subsequent df lookups for uncached terms hit memory instead of
-        parquet (the reference's always-resident segment dictionaries)."""
+        parquet (the reference's always-resident segment dictionaries).
+        Idempotent: a second call on an unchanged index reuses the
+        already-cached dictionary instead of stacking a new cache()."""
         self._check_stamp()
+        if self._dictionary_df is not None:
+            return
         d = self.dictionary().cache()
         d.count()
         self._dictionary_df = d
@@ -182,15 +192,19 @@ class BM25Index:
     def resolve_keys(self, df: DataFrame) -> DataFrame:
         """Join doc_key onto any DataFrame carrying doc_id (e.g. a
         top-k result) — the reference's CTID resolution step
-        (tp_topk_resolve_ctids, bmw.c:260-295). For k-row inputs the
-        keymap side is joined broadcast-free: Spark broadcasts the
-        small top-k side instead."""
+        (tp_topk_resolve_ctids, bmw.c:260-295). Shaped as a RIGHT
+        outer join from the keymap with the small (k-row) side
+        broadcast: Spark can only build the hash table on the
+        broadcast side, and for LEFT joins that would have to be the
+        corpus-scale keymap — right-outer keeps the keymap streaming
+        through a broadcast probe of k rows instead of a full shuffle."""
         km = self.keymap()
         if km is None:
             raise ValueError(
                 "index was not built with key_col; no keymap to resolve"
             )
-        return df.join(km, "doc_id", "left")
+        out_cols = df.columns + [c for c in km.columns if c != "doc_id"]
+        return km.join(F.broadcast(df), "doc_id", "right").select(*out_cols)
 
     def dictionary(self) -> DataFrame:
         if self._dictionary_df is not None:
@@ -220,8 +234,11 @@ class BM25Index:
         return {t: self._df_cache[t] for t in terms if self._df_cache[t] > 0}
 
     def _term_dfs_uncached(self, terms: list[str]) -> dict[str, int]:
-        """Pending deletes are corrected by counting the dead docs'
-        term hits (exact, small anti-set)."""
+        """Pending deletes are corrected from the ``dead_dfs`` table
+        that ``delete_docs`` materializes (one (term, dead_df) row per
+        term per delete batch) — a dictionary-sized lookup, no posting
+        decode at query time. Legacy indexes whose deletes predate the
+        table fall back to decoding the query terms' postings."""
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
         try:
             d = self.dictionary()
@@ -243,16 +260,28 @@ class BM25Index:
             )
             dfs = {r["term"]: int(r["df"]) for r in rows}
         if self.has_deletes() and dfs:
-            dead = self.deleted_ids()
-            flat = decode_postings_flat(
-                self.pruned_postings(list(dfs))
-            ).select("term", "doc_id")
-            dead_rows = (
-                flat.join(F.broadcast(dead), "doc_id")
-                .groupBy("term")
-                .agg(F.count("*").alias("dead_df"))
-                .collect()
-            )
+            dead_path = os.path.join(self.index_dir, "dead_dfs")
+            if os.path.exists(dead_path):
+                dead_rows = (
+                    self.spark.read.schema("term string, dead_df bigint")
+                    .parquet(dead_path)
+                    .filter(F.col("term").isin(list(dfs)))
+                    .groupBy("term")
+                    .agg(F.sum("dead_df").alias("dead_df"))
+                    .collect()
+                )
+            else:
+                # legacy fallback: decode the query terms' postings
+                dead = self.deleted_ids()
+                flat = decode_postings_flat(
+                    self.pruned_postings(list(dfs))
+                ).select("term", "doc_id")
+                dead_rows = (
+                    flat.join(F.broadcast(dead), "doc_id")
+                    .groupBy("term")
+                    .agg(F.count("*").alias("dead_df"))
+                    .collect()
+                )
             for r in dead_rows:
                 dfs[r["term"]] = dfs.get(r["term"], 0) - int(r["dead_df"])
             dfs = {t: v for t, v in dfs.items() if v > 0}
