@@ -350,15 +350,34 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pg_textsearch_spark.operators.knn import ann_lsh_topk
+def ensure_ann_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the materialized ANN index over
+    ``embeddings`` — IVF lists + LSH band tables (index/ann.py)."""
+    from pg_textsearch_spark.index.ann import ANNIndex, build_ann_index
 
-    emb = embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    ensure_shipped(spark)
+    tag = hashlib.sha1(f"ann:{sf_dir}:v1".encode()).hexdigest()[:12]
+    idx_dir = os.path.join(_INDEX_CACHE_ROOT, tag)
+    with _build_lock:
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            build_ann_index(
+                spark, embeddings(spark, sf_dir), idx_dir,
+                n_lists=16, n_bits=16, bands=8, seed=11,
+            )
+    return ANNIndex(spark, idx_dir)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH over the MATERIALIZED band tables (rows-only:
+    recall < 1 by construction; pinned vs brute force by pytest)."""
+    from pg_textsearch_spark.index.ann import ann_lsh_topk
+
+    idx = ensure_ann_index(spark, sf_dir)
+    queries = embeddings(spark, sf_dir).filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    res = ann_lsh_topk(emb, queries, k=10, n_bits=16, bands=4)
+    res = ann_lsh_topk(idx, queries, k=10)
     return res.select(
         "query_id", "rank", "vec_id", F.round("cos", 6).alias("cos")
     )
@@ -479,17 +498,17 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (spherical k-means lists + n_probe scan): rows-only —
-    recall < 1 by construction; pinned vs brute force by pytest."""
-    from pg_textsearch_spark.operators.knn import ann_ivf_topk
+    """IVF ANN over the MATERIALIZED index: the query is a partition-
+    pruned scan of n_probe list dirs, zero query-time Python (rows-only
+    — recall < 1 by construction; pinned vs brute force by pytest)."""
+    from pg_textsearch_spark.index.ann import ann_ivf_topk
 
-    ensure_shipped(spark)
-    emb = embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    idx = ensure_ann_index(spark, sf_dir)
+    queries = embeddings(spark, sf_dir).filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    res = ann_ivf_topk(emb, queries, k=10, n_lists=16, n_probe=6)
+    res = ann_ivf_topk(idx, queries, k=10, n_probe=6)
     return res.select(
         "query_id", "rank", "vec_id", F.round("cos", 6).alias("cos")
     )

@@ -51,7 +51,14 @@ class SegmentStore:
         partition_by: str | None = None,
         sort_within: list[str] | None = None,
         parquet_block_size: int | None = None,
+        shuffle_by: list[str] | None = None,
     ) -> None:
+        """``shuffle_by`` decouples shuffle parallelism from the dir
+        layout: rows are hash-distributed on these columns (default:
+        ``partition_by``) while ``partitionBy`` still writes one dir
+        per ``partition_by`` value — needed when the partition column
+        has few distinct values (e.g. 4 LSH bands) but the table is
+        corpus-sized."""
         raise NotImplementedError
 
     def read(
@@ -84,8 +91,11 @@ class ParquetDirStore(SegmentStore):
         partition_by: str | None = None,
         sort_within: list[str] | None = None,
         parquet_block_size: int | None = None,
+        shuffle_by: list[str] | None = None,
     ) -> None:
-        if partition_by:
+        if shuffle_by:
+            df = df.repartition(*shuffle_by)
+        elif partition_by:
             df = df.repartition(partition_by)
         if sort_within:
             df = df.sortWithinPartitions(*sort_within)
@@ -160,6 +170,7 @@ class IcebergSegmentStore(SegmentStore):
         partition_by: str | None = None,
         sort_within: list[str] | None = None,
         parquet_block_size: int | None = None,
+        shuffle_by: list[str] | None = None,
     ) -> None:
         from pyspark.sql import functions as F  # pragma: no cover
 

@@ -11,11 +11,17 @@
 - ``ann_ivf_topk``: the inverted-file alternative: spherical k-means
   on a deterministic sample fits ``n_lists`` centroids driver-side,
   every vector is assigned to its nearest list (Arrow-batched numpy
-  matmul), and a query scans only its ``n_probe`` nearest lists. At
-  corpus scale the assignment column is precomputed once and the list
-  id becomes a partition key — the probe is then partition pruning.
+  matmul), and a query scans only its ``n_probe`` nearest lists.
 
-Both ANN paths are recall<1 by construction -> pytest-pinned vs brute
+The two ``ann_*`` functions here are the INDEX-FREE (ad-hoc, one-shot)
+variants: they fit/assign per call, which is fine for a single batch
+over a transient DataFrame but is a full corpus pass per call. The
+serving path is ``index/ann.py``: ``build_ann_index`` materializes
+list assignments, norms, and sketches ONCE (partitioned by list/band),
+and its ``ann_ivf_topk``/``ann_lsh_topk`` are partition-pruned scans
+with zero query-time Python.
+
+All ANN paths are recall<1 by construction -> pytest-pinned vs brute
 force; not SQL-expressible (rows-only driver checks). At 100 TB the
 brute-force path is the per-bucket verifier inside the LSH/IVF
 partitioner, not a standalone scan — the composition here mirrors
