@@ -83,6 +83,29 @@ _TOKEN_RE = re.compile(
 _SKIP = ("tag", "entity")
 _HAS_DIGIT = re.compile(r"\d")
 
+#: fast-path support (used by tokenizer._pg_token_stream): tags are the
+#: ONLY class that can span whitespace, and no other class ever consumes
+#: '<', so removing leftmost tag matches up front is exactly the
+#: scanner's tag-skip; after that, tokenization is independent per
+#: whitespace field. Two field shapes then avoid the 14-alternation
+#: scan entirely:
+#:
+#: 1. no structural char (. @ / : & < > -) and no digit -> only plain
+#:    `word` tokens are possible (every structured class needs one of
+#:    those chars); a 1-class findall splits on anything else.
+#:    ('_' is not structural: the word classes exclude it, so it just
+#:    splits; '%'/'+' only matter inside an email, which needs '@'.)
+#: 2. no structural char, >= 1 digit, and fully alphanumeric
+#:    (str.isalnum, no '_') -> the scanner provably emits exactly ONE
+#:    token: the whole field, as uint (all digits), sfloat (d+[eE]d+),
+#:    or numword (anything else — its lookahead grabs the full run).
+#:    All three are non-stem classes, so the lexeme is just
+#:    field.lower() regardless of which.
+TAG_SUB_RE = re.compile(r"<[/!]?[A-Za-z][^<>]{0,1023}>")
+STRUCT_RE = re.compile(r"[.@/:&<>-]")
+DIGIT_RE = re.compile(r"\d")
+PLAIN_WORD_RE = re.compile(r"[^\W\d_]+")
+
 #: constant-time class dispatch: map every group index (incl. inner
 #: groups like u_host, which is always the LAST matched group of its
 #: alternative) to the outer token class — m.lastindex then resolves

@@ -205,6 +205,10 @@ def _chunk_boundaries(text: str, chunk_bytes: int = CHUNK_BYTES):
     (reference: build.c:867-898 — split at last ASCII whitespace at or
     before the byte boundary, falling back to a character boundary).
     """
+    if len(text) * 4 <= chunk_bytes:
+        # utf-8 is <= 4 bytes/char: the common small doc skips the encode
+        yield text
+        return
     data = text.encode("utf-8")
     if len(data) <= chunk_bytes:
         yield text
@@ -232,11 +236,15 @@ def _chunk_boundaries(text: str, chunk_bytes: int = CHUNK_BYTES):
         start = end
 
 
-def token_stream(text: str, config: TokenizerConfig | str = "english") -> list[str]:
+def token_stream(
+    text: str,
+    config: TokenizerConfig | str = "english",
+    _memo: dict | None = None,
+) -> list[str]:
     """Ordered surviving tokens of one document (post stop/stem)."""
     cfg = get_config(config) if isinstance(config, str) else config
     if cfg.parser == "pg":
-        return _pg_token_stream(text, cfg)
+        return _pg_token_stream(text, cfg, _memo)
     rx = re.compile(cfg.py_pattern)
     stem_fn = cfg.stem_fn() if cfg.do_stem else None
     out: list[str] = []
@@ -250,34 +258,111 @@ def token_stream(text: str, config: TokenizerConfig | str = "english") -> list[s
     return out
 
 
-def _pg_token_stream(text: str, cfg: TokenizerConfig) -> list[str]:
+#: max entries in a shared field memo (~tens of MB worst case)
+_FIELD_MEMO_CAP = 1 << 20
+
+
+def _pg_token_stream(
+    text: str, cfg: TokenizerConfig, _memo: dict | None = None
+) -> list[str]:
     """Typed-token path: scan classes, then apply the class->dictionary
     mapping — stop+stem for word classes, lowercase verbatim for the
-    rest (the PG 'english' config's mapping shape)."""
+    rest (the PG 'english' config's mapping shape).
+
+    Fast path (the round-2 pg_english build ran at ~1/4 the word-split
+    config's throughput, almost all of it the 14-alternation scanner):
+    strip tags with one C regex pass (tags are the only class spanning
+    whitespace and nothing else consumes '<' — see pg_parser.py), then
+    split on whitespace; a field with no structural trigger char can
+    only yield plain `word` tokens, so it runs a 1-class findall plus a
+    memoized lower/stop/stem lookup (Zipf makes the memo hit rate very
+    high). Fields WITH trigger chars go through the full ``pg_scan``
+    unchanged. Equivalence with the pure scanner is pytest-pinned over
+    the frozen fixtures and a randomized corpus.
+
+    ``_memo`` caches raw word -> final lexeme (or None if dropped)
+    ACROSS calls for one config — pass a shared dict from batch kernels.
+    """
     from pg_textsearch_spark.functions.pg_parser import (
+        DIGIT_RE,
         PG_STEM_CLASSES,
+        PLAIN_WORD_RE,
+        STRUCT_RE,
+        TAG_SUB_RE,
         pg_scan,
     )
 
     stem_fn = cfg.stem_fn() if cfg.do_stem else None
-    out: list[str] = []
-    for chunk in _chunk_boundaries(text):
-        for cls, tok in pg_scan(chunk):
+    stops = cfg.stopwords
+    struct_search = STRUCT_RE.search
+    digit_search = DIGIT_RE.search
+    plain_findall = PLAIN_WORD_RE.findall
+
+    def field_lexemes(field: str) -> tuple[str, ...]:
+        if struct_search(field) is None:
+            if digit_search(field) is None:
+                # word-class-only field
+                lex = []
+                for tok in plain_findall(field):
+                    t = tok.lower()
+                    if len(t) > TOKEN_MAX_CHARS or t in stops:
+                        continue
+                    lex.append(stem_fn(t) if stem_fn else t)
+                return tuple(lex)
+            if field.isalnum():
+                # one uint/sfloat/numword token == the whole field
+                # (see pg_parser.py fast-path proof); all non-stem
+                # classes -> lowercased verbatim
+                if len(field) <= TOKEN_MAX_CHARS:
+                    return (field.lower(),)
+                return ()
+        lex = []
+        for cls, tok in pg_scan(field):
             tok = tok.lower()
             if len(tok) > TOKEN_MAX_CHARS:
                 continue
             if cls in PG_STEM_CLASSES:
-                if tok in cfg.stopwords:
+                if tok in stops:
                     continue
-                out.append(stem_fn(tok) if stem_fn else tok)
+                lex.append(stem_fn(tok) if stem_fn else tok)
             else:
-                out.append(tok)
+                lex.append(tok)
+        return tuple(lex)
+
+    # memo is per raw FIELD -> lexeme tuple: Zipf makes the hit rate
+    # near 1, so the steady-state cost per field is one dict probe and
+    # one list.extend — no regex, no stemming, no lowering. Capped so a
+    # long-lived executor tokenizing an adversarial corpus (unbounded
+    # distinct fields) can't grow it without bound; past the cap,
+    # misses are computed uncached.
+    if _memo is None:
+        _memo = {}
+    memo_get = _memo.get
+    out: list[str] = []
+    ext = out.extend
+    for chunk in _chunk_boundaries(text):
+        if "<" in chunk:
+            chunk = TAG_SUB_RE.sub(" ", chunk)
+        for field in chunk.split():
+            r = memo_get(field)
+            if r is None:
+                r = field_lexemes(field)
+                if len(_memo) < _FIELD_MEMO_CAP:
+                    _memo[field] = r
+            ext(r)
     return out
 
 
-def tokenize(text: str, config: TokenizerConfig | str = "english") -> dict[str, int]:
-    """text -> {term: tf}. doc_len is ``sum(result.values())``."""
-    return dict(Counter(token_stream(text, config)))
+def tokenize(
+    text: str,
+    config: TokenizerConfig | str = "english",
+    _memo: dict | None = None,
+) -> dict[str, int]:
+    """text -> {term: tf}. doc_len is ``sum(result.values())``.
+
+    ``_memo`` (pg configs only): shared raw-word -> lexeme cache for
+    batch kernels tokenizing many docs under one config."""
+    return dict(Counter(token_stream(text, config, _memo)))
 
 
 def tokenize_query(query: str, config: TokenizerConfig | str = "english") -> dict[str, int]:
@@ -388,12 +473,15 @@ def _pg_spark_token_table(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def run(batches):
+        # raw-word -> lexeme memo shared across every doc this task
+        # tokenizes (Zipf => hit rate near 1 after the first few docs)
+        memo: dict = {}
         for pdf in batches:
             ids_out, terms_out, tfs_out = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 if t is None:
                     continue
-                counts = tokenize(t, cfg)
+                counts = tokenize(t, cfg, _memo=memo)
                 if not counts:
                     continue
                 ids_out.extend([i] * len(counts))
@@ -412,6 +500,59 @@ def _pg_spark_token_table(
     # added by the tokenizer itself
     return df.select(id_col, text_col).mapInPandas(
         run, f"{id_col} {id_type}, term string, tf int"
+    )
+
+
+def _pg_spark_tokens_with_len(
+    df: DataFrame, id_col: str, text_col: str, cfg: TokenizerConfig
+) -> DataFrame:
+    """Builder variant of the pg tokenizer kernel: emits
+    (id, term, tf, doc_len, fieldnorm) with the doc stats computed
+    IN-KERNEL (the kernel already holds each whole doc, so doc_len =
+    sum(tf) and its fieldnorm cost one numpy pass) — the round-2 build
+    derived them with a window shuffle over the full token table plus a
+    separate fieldnorm UDF stage. Docs tokenizing to nothing (or with
+    NULL text) emit one term=NULL row so the doclen table can be
+    projected from this output alone: every doc counts in N/avgdl
+    (docmap rule) without re-scanning the input."""
+    import numpy as np
+
+    from pg_textsearch_spark.functions.fieldnorm import encode_fieldnorm
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        memo: dict = {}
+        for pdf in batches:
+            ids_out, terms_out, tfs_out, dls_out = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                counts = tokenize(t, cfg, _memo=memo) if t is not None else {}
+                if not counts:
+                    ids_out.append(i)
+                    terms_out.append(None)
+                    tfs_out.append(0)
+                    dls_out.append(0)
+                    continue
+                n = len(counts)
+                ids_out.extend([i] * n)
+                terms_out.extend(counts.keys())
+                tfs_out.extend(counts.values())
+                dls_out.extend([sum(counts.values())] * n)
+            dl = np.asarray(dls_out, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids_out),
+                    "term": pd.Series(terms_out, dtype=object),
+                    "tf": np.asarray(tfs_out, dtype=np.int32),
+                    "doc_len": dl,
+                    "fieldnorm": encode_fieldnorm(dl).astype(np.int32),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} {id_type}, term string, tf int, "
+        "doc_len bigint, fieldnorm int",
     )
 
 

@@ -45,10 +45,7 @@ from pyspark.sql.functions import pandas_udf
 
 from pg_textsearch_spark.functions import bm25
 from pg_textsearch_spark.functions.fieldnorm import encode_fieldnorm
-from pg_textsearch_spark.functions.tokenizer import (
-    get_config,
-    spark_token_table,
-)
+from pg_textsearch_spark.functions.tokenizer import get_config
 from pg_textsearch_spark.index.blocks import BLOCKS_SCHEMA, build_blocks
 
 #: docs per run: 2^13 = 8192. Caps any (term, run) posting group at 8192
@@ -258,47 +255,41 @@ def build_segment_dataframes(
     measured win). The posting-list "merge" of the reference's leader
     loop is simply that one shuffle (build_parallel.c:640-838).
 
-    pg-parser configs (typed token classes) keep a two-stage shape:
-    the scanner kernel already emits unique (doc, term, tf), and
-    doc_len = sum(tf) over all emitted lexemes (compounds AND parts),
-    which is attached via a window like round 1.
+    pg-parser configs (typed token classes) run the scanner kernel
+    ONCE: it emits unique (doc, term, tf) WITH doc_len/fieldnorm
+    computed in-kernel (the kernel holds each whole doc) and a
+    term=NULL marker row for empty-tokenizing docs — so doclen is a
+    narrow dedup over the same persisted output, and the (term, run)
+    repartition is the only full-width shuffle (round 2 spent a window
+    shuffle + a fieldnorm UDF stage + an input re-scan here).
     """
     cfg = get_config(config) if isinstance(config, str) else config
     if cfg.parser != "pg":
         return _words_segment_dataframes(
             docs, doc_id_col, text_col, cfg, n_buckets, codec, persisted
         )
-    tokens = spark_token_table(docs, doc_id_col, text_col, cfg)
-    tokens = tokens.withColumnRenamed(doc_id_col, "doc_id")
-
-    # doc_len via a window over the token table: one pass, no join-back
-    # (a join would recompute the whole tokenize pipeline twice)
-    w = Window.partitionBy("doc_id")
-    toklen = tokens.withColumn(
-        "doc_len", F.sum("tf").over(w).cast("long")
-    ).withColumn("fieldnorm", _fieldnorm_udf()("doc_len"))
-    toklen = toklen.persist(StorageLevel.MEMORY_AND_DISK)
-    if persisted is not None:
-        persisted.append(toklen)
-
-    # every input doc appears in doclen, including docs whose text
-    # tokenizes to nothing (doc_len 0, fieldnorm encode(0)=0): the
-    # reference's docmap registers every indexed row, so N/avgdl count
-    # empty docs too (reference: docmap.c:42-212, bm25.c:155-191)
-    doclen = (
-        docs.select(F.col(doc_id_col).cast("long").alias("doc_id"))
-        .join(
-            toklen.groupBy("doc_id").agg(
-                F.first("doc_len").alias("doc_len"),
-                F.first("fieldnorm").alias("fieldnorm"),
-            ),
-            "doc_id",
-            "left",
-        )
-        .fillna({"doc_len": 0, "fieldnorm": 0})
+    from pg_textsearch_spark.functions.tokenizer import (
+        _pg_spark_tokens_with_len,
     )
 
-    flat = toklen.select(
+    tokens = _pg_spark_tokens_with_len(docs, doc_id_col, text_col, cfg)
+    tokens = tokens.withColumnRenamed(doc_id_col, "doc_id").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted is not None:
+        persisted.append(tokens)
+
+    # every input doc appears exactly once: real docs via their token
+    # rows (constant doc_len per doc), empty/NULL-text docs via their
+    # marker row (doc_len 0, fieldnorm encode(0)=0) — the reference's
+    # docmap registers every indexed row, so N/avgdl count empty docs
+    # too (reference: docmap.c:42-212, bm25.c:155-191)
+    doclen = tokens.select("doc_id", "doc_len", "fieldnorm").dropDuplicates(
+        ["doc_id"]
+    )
+
+    flat = tokens.filter(F.col("term").isNotNull()).select(
         "term",
         F.shiftright("doc_id", RUN_SHIFT).alias("run"),
         "doc_id",

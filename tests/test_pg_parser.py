@@ -230,3 +230,78 @@ def test_pg_index_end_to_end(spark, tmp_path):
     assert [(r["rank"], r["doc_id"]) for r in exh] == [
         (r["rank"], r["doc_id"]) for r in bmw
     ]
+
+
+# ---------------------------------------------------------------------------
+# fast-path equivalence: the whitespace-field fast paths in
+# tokenizer._pg_token_stream (tag pre-strip, plain-word fields, alnum
+# single-token fields, field memo) must be indistinguishable from the
+# pure pg_scan scanner over the whole chunk
+# ---------------------------------------------------------------------------
+
+
+def _pure_scanner_stream(text, cfg):
+    """The round-2 implementation: pg_scan over each whole chunk."""
+    from pg_textsearch_spark.functions.pg_parser import (
+        PG_STEM_CLASSES,
+        pg_scan,
+    )
+    from pg_textsearch_spark.functions.tokenizer import (
+        TOKEN_MAX_CHARS,
+        _chunk_boundaries,
+    )
+
+    stem_fn = cfg.stem_fn() if cfg.do_stem else None
+    out = []
+    for chunk in _chunk_boundaries(text):
+        for cls, tok in pg_scan(chunk):
+            tok = tok.lower()
+            if len(tok) > TOKEN_MAX_CHARS:
+                continue
+            if cls in PG_STEM_CLASSES:
+                if tok in cfg.stopwords:
+                    continue
+                out.append(stem_fn(tok) if stem_fn else tok)
+            else:
+                out.append(tok)
+    return out
+
+
+FAST_PATH_ADVERSARIAL = [
+    "t123 45 1e10 5e3x 123abc abc123def x² １２３",
+    "foo_1 can't123 50% a+b 12e e12 55e66e77 1E5 2e-3 Hello WORLD",
+    '<div class="x">inside</div> a<b>c &amp; &#39; <unclosed tag',
+    "state-of-the-art tapir-1.4 e.g. /usr/local/lib www.x.com/y a.b.c.d",
+    "café naïve слово 中文123",
+    "UPPER123 Mixed1Case2 ...dots... -lead trail- -5 +7 1.2.3.4.5",
+    "a_b_c 1_2 the and of THE The nbsp sep",
+    "", " ", "x", "9", "e", "<", "&", "-", "_",
+    "see http://example.com/a/b and user@test.org v1.2.3 or 3.14",
+]
+
+
+def test_fast_path_equivalence_fixed_and_random():
+    import random
+
+    from pg_textsearch_spark.functions.tokenizer import (
+        get_config,
+        token_stream,
+    )
+
+    rng = random.Random(42)
+    pieces = (
+        "hello world the-quick brown_fox 123 t45 1e9 v2.0.1 a.b.com "
+        "x/y/z u@v.org <b>bold</b> &amp; state-of-the-art café 50%% "
+        "UPPER miXed ５ 中文"
+    ).split()
+    random_docs = [
+        " ".join(rng.choice(pieces) for _ in range(rng.randrange(0, 40)))
+        for _ in range(300)
+    ]
+    for name in ("pg_english", "pg_simple"):
+        cfg = get_config(name)
+        memo: dict = {}
+        for t in FAST_PATH_ADVERSARIAL + random_docs:
+            assert token_stream(t, cfg, _memo=memo) == _pure_scanner_stream(
+                t, cfg
+            ), (name, t)
