@@ -201,3 +201,33 @@ def test_randomized_multisegment_delete_parity(spark, tmp_path_factory, seed):
             for e, w in zip(exh, bmw):
                 assert abs(e["score"] - w["score"]) <= 1e-9, (q, e, w)
         assert not ({r["doc_id"] for r in exh} & set(victims))
+
+
+def test_f32_tied_scores_straddling_k_boundary(spark, tmp_path):
+    """Adversarial tie test (round-2 verdict #7 / ADVICE): >HEAP_PAD
+    docs whose float32 scores are IDENTICAL but whose float64 scores
+    differ (tf = 10000+i: the f64 delta is ~1e-10 relative, far below
+    one f32 ulp) straddle the k boundary inside one run. A heap that
+    ranks/evicts by f32 keeps the lowest doc_ids (tie-break) and drops
+    the true f64 top-k — the f64-ranked heap must match exhaustive
+    exactly."""
+    from pg_textsearch_spark.index.builder import build_index
+    from pg_textsearch_spark.operators.bmw import HEAP_PAD, topk_bmw
+    from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+
+    n = HEAP_PAD + 12  # 20 docs, k=5 -> boundary well inside the ties
+    rows = [(i, ("tie " * (10000 + i)) + "anchor") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "ties")
+    build_index(spark, docs, d, config="ascii", n_buckets=4)
+    idx = BM25Index(spark, d)
+
+    for q in ("tie", "tie anchor"):
+        exh = [(r["rank"], r["doc_id"], r["score"])
+               for r in topk_exhaustive(idx, q, k=5).collect()]
+        bmw = [(r["rank"], r["doc_id"], r["score"])
+               for r in topk_bmw(idx, q, k=5).collect()]
+        assert bmw == exh, (q, bmw, exh)
+        # the true winners are the HIGHEST-tf docs (largest doc_ids
+        # here), exactly the rows an f32-ranked heap would evict
+        assert [doc for _, doc, _ in exh] == [n - 1 - i for i in range(5)]

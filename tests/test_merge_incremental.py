@@ -117,3 +117,37 @@ def test_leveled_compaction_policy(spark, tmp_path_factory):
                 n_buckets=idx.n_buckets)
     for q in QUERIES:
         assert _results(idx, q) == _results(BM25Index(spark, bulk_dir), q)
+
+
+def test_mixed_keymap_merge_preserves_partial_keymap(spark, tmp_path):
+    """Regression (round-3 ADVICE, medium): merging a keymap-built
+    segment with a non-keymap segment must CARRY the partial keymap —
+    the round-2 all() check skipped the merged write and then reclaimed
+    the source keymap files, permanently destroying the mapping."""
+    from pg_textsearch_spark.index.merge import force_merge
+
+    d = str(tmp_path / "mixed")
+    keyed = spark.createDataFrame(
+        [(f"u{i}", f"alpha beta doc{i}") for i in range(40)],
+        "url string, text string",
+    )
+    build_index(spark, keyed, d, key_col="url", config="ascii", n_buckets=4)
+    unkeyed = spark.createDataFrame(
+        [(1000 + i, f"gamma delta doc{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    insert_batch(spark, d, unkeyed, doc_id_col="doc_id", compact=False)
+
+    idx = BM25Index(spark, d)
+    assert len(idx.manifest["segments"]) == 2
+    force_merge(idx)
+    idx = BM25Index(spark, d)
+    assert len(idx.manifest["segments"]) == 1
+    # the merged segment still carries the keyed docs' mapping
+    res = topk_exhaustive(idx, "alpha", k=5)
+    resolved = idx.resolve_keys(res).collect()
+    assert all(r["doc_key"].startswith("u") for r in resolved)
+    # unkeyed docs resolve to NULL, not an error
+    res2 = topk_exhaustive(idx, "gamma", k=5)
+    resolved2 = idx.resolve_keys(res2).collect()
+    assert resolved2 and all(r["doc_key"] is None for r in resolved2)
