@@ -31,10 +31,23 @@ Emission rules (mirroring ts_debug output shape):
 - ``/usr/local/lib``          -> file.
 - ``state-of-the-art``        -> hword compound + one part per word.
 - ``tapir-1.4``               -> numhword compound + parts.
+- ``12-in``                   -> numhword compound + parts (PG's
+  hyphenated-word classes accept digit-LEADING compounds as long as a
+  letter appears somewhere — pinned by the Cranfield replay's
+  ``12-in.`` token; all-digit pairs like ``1985-1990`` stay
+  uint + int, and ``2e-3`` stays sfloat because sfloat outranks
+  hword).
 - ``1.2.3`` -> version; ``3.14`` -> float; ``1e-10`` -> sfloat;
-  ``42`` -> uint.
+  ``42`` -> uint; ``-1234`` / ``+7`` -> int (PG's signed-integer
+  class — the sign binds only when freestanding: ``x-5`` is still a
+  numhword compound); ``-3.14`` -> float, ``-2e-3`` -> sfloat.
 - ``<div class="x">`` and ``&amp;`` -> skipped (tag/entity).
 - underscores separate words (PG behavior: foo_bar -> foo, bar).
+- internal apostrophes stay in the word (PG behavior:
+  ``to_tsvector('english', 'john''s')`` = 'john' — the parser emits
+  the word WITH the apostrophe and Porter2 step 0 strips the
+  possessive; splitting would leak a spurious ``s`` lexeme and
+  inflate doc_len).
 
 Class -> dictionary mapping (PG 'english' config): letter-only word
 classes (word, hword, hword_part) get stopword removal + stemming;
@@ -69,13 +82,14 @@ _TOKEN_RE = re.compile(
   )
 | (?P<host>[A-Za-z0-9][A-Za-z0-9-]*(?:\.[A-Za-z][A-Za-z0-9-]*)+)
 | (?P<file>/[\w.-]+(?:/[\w.-]+)+/? | [\w.-]+(?:/[\w.-]+)+/?)
-| (?P<sfloat>\d+(?:\.\d+)?[eE][+-]?\d+(?![^\W_]))
+| (?P<sfloat>[+-]?\d+(?:\.\d+)?[eE][+-]?\d+(?![^\W_]))
 | (?P<version>\d+(?:\.\d+){2,}(?![^\W_]))
-| (?P<float>\d+\.\d+(?![^\W_]))
+| (?P<hword>(?=(?:[^\W_]|-)*[^\W\d_])[^\W_]+(?:-[^\W_]+)+)
+| (?P<float>[+-]?\d+\.\d+(?![^\W_]))
+| (?P<int>[+-]\d+(?![^\W_]))
 | (?P<uint>\d+(?![^\W_]))
-| (?P<hword>[^\W\d_][^\W_]*(?:-[^\W_]+)+)
 | (?P<numword>(?=[^\W_]*\d)[^\W_]+)
-| (?P<word>[^\W\d_]+)
+| (?P<word>[^\W\d_]+(?:'[^\W\d_]+)*)
 """,
     re.VERBOSE | re.UNICODE,
 )
@@ -104,7 +118,7 @@ _HAS_DIGIT = re.compile(r"\d")
 TAG_SUB_RE = re.compile(r"<[/!]?[A-Za-z][^<>]{0,1023}>")
 STRUCT_RE = re.compile(r"[.@/:&<>-]")
 DIGIT_RE = re.compile(r"\d")
-PLAIN_WORD_RE = re.compile(r"[^\W\d_]+")
+PLAIN_WORD_RE = re.compile(r"[^\W\d_]+(?:'[^\W\d_]+)*")
 
 #: constant-time class dispatch: map every group index (incl. inner
 #: groups like u_host, which is always the LAST matched group of its

@@ -305,3 +305,68 @@ def test_fast_path_equivalence_fixed_and_random():
             assert token_stream(t, cfg, _memo=memo) == _pure_scanner_stream(
                 t, cfg
             ), (name, t)
+
+
+# ---------------------------------------------------------------------------
+# round-3 class extensions: signed numbers (PG's `int` class),
+# possessive apostrophes, digit-leading hyphen compounds
+# (extending the fixtures from PG's documented ts_debug taxonomy:
+# int "Signed integer" example -1234; the parser keeps internal
+# apostrophes — to_tsvector('english', 'john''s') = 'john')
+# ---------------------------------------------------------------------------
+
+
+def test_signed_integer_class():
+    assert scan("at -1234 and +7 degrees") == [
+        ("word", "at"),
+        ("int", "-1234"),
+        ("word", "and"),
+        ("int", "+7"),
+        ("word", "degrees"),
+    ]
+
+
+def test_signed_float_and_sfloat():
+    assert scan("-3.14 +0.5 -2e-3 2e-3") == [
+        ("float", "-3.14"),
+        ("float", "+0.5"),
+        ("sfloat", "-2e-3"),
+        ("sfloat", "2e-3"),
+    ]
+
+
+def test_sign_binds_only_when_freestanding():
+    # a hyphen after a word is a compound, never a sign
+    assert scan("x-5") == [
+        ("numhword", "x-5"),
+        ("hword_part", "x"),
+        ("hword_numpart", "5"),
+    ]
+    # digit ranges split as uint + int (no letter -> not a compound)
+    assert scan("1985-1990") == [("uint", "1985"), ("int", "-1990")]
+
+
+def test_possessive_apostrophe_stays_in_word():
+    assert scan("prandtl's law o'brien's") == [
+        ("word", "prandtl's"),
+        ("word", "law"),
+        ("word", "o'brien's"),
+    ]
+    # porter2 step 0 strips the possessive in english configs
+    assert token_stream("prandtl's law", "pg_english") == ["prandtl", "law"]
+    # leading/trailing apostrophes never join
+    assert scan("'quoted' rock'") == [
+        ("word", "quoted"),
+        ("word", "rock"),
+    ]
+
+
+def test_digit_leading_hyphen_compound():
+    # the Cranfield '12-in.' token: digit-leading compounds are
+    # numhword as long as a letter appears somewhere
+    assert scan("12-in. tunnel") == [
+        ("numhword", "12-in"),
+        ("hword_numpart", "12"),
+        ("hword_part", "in"),
+        ("word", "tunnel"),
+    ]

@@ -144,10 +144,14 @@ def test_empty_corpus_index(spark, tmp_path):
 # 10 abstracts and 3 queries; we replay them through our full engine
 # (pg_english config: the PG default-parser token classes matter — the
 # corpus is dense with hyphenated compounds like 'boundary-layer') and
-# require per-rank score agreement within 2e-3 of the published
-# numbers (the reference's own acceptance rule is 1e-3 against its SQL
-# oracle; our residual ~1e-3 comes from remaining tokenizer edges on
-# possessives/odd punctuation, measured and documented in BASELINE.md).
+# require per-rank score agreement within 1e-3 of the published
+# numbers — the reference's own acceptance rule against its SQL
+# oracle. The round-2 residual (~1e-3, worst 1.05e-3) was traced to a
+# single corpus-wide token: PG's hyphenated-word classes accept
+# digit-LEADING compounds, so doc 7's unique '12-in.' must emit
+# numhword '12-in' + parts (2 surviving lexemes), not uint 12 alone.
+# With that class fixed the worst residual is 3.5e-5 — inside the
+# published scores' own 4-decimal rounding.
 # ---------------------------------------------------------------------------
 
 
@@ -166,7 +170,7 @@ def test_cranfield_matches_reference_published_ranking(cranfield_idx, query):
     got = topk_exhaustive(cranfield_idx, query, k=len(want)).collect()
     assert [r["doc_id"] for r in got] == [d for d, _ in want]
     for r, (_, ref_score) in zip(got, want):
-        assert abs(r["score"] - ref_score) <= 2e-3, (query, r, ref_score)
+        assert abs(r["score"] - ref_score) <= 1e-3, (query, r, ref_score)
 
 
 def test_cranfield_bmw_parity(cranfield_idx):
