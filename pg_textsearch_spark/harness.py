@@ -497,6 +497,77 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_exhaustive(idx, "t0 t1 t2", k=10)
 
 
+def ensure_partitioned_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) per-lang child indexes over documents
+    (the reference's partitioned-table analog, index/partitioned.py)."""
+    from pg_textsearch_spark.index.partitioned import (
+        PartitionedIndex,
+        build_partitioned_index,
+    )
+
+    ensure_shipped(spark)
+    tag = hashlib.sha1(f"parted:{sf_dir}:{CONFIG}:v1".encode()).hexdigest()[:12]
+    root = os.path.join(_INDEX_CACHE_ROOT, tag)
+    with _build_lock:
+        if not os.path.exists(os.path.join(root, "manifest.json")):
+            build_partitioned_index(
+                spark, documents(spark, sf_dir), root, "lang",
+                config=CONFIG, n_buckets=N_BUCKETS,
+            )
+    return PartitionedIndex(spark, root)
+
+
+def q_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-partition top-k with exact global stats over per-lang
+    child indexes — score-identical to a flat index, so the ordinary
+    index-free SQL oracle gates it (plus the lang join for `part`)."""
+    from pg_textsearch_spark.index.partitioned import topk_partitioned
+
+    pidx = ensure_partitioned_index(spark, sf_dir)
+    res = topk_partitioned(pidx, QUERY_MULTI, k=10, stats="global")
+    return res.select(
+        "rank", "part", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def partitioned_topk_oracle_sql(query: str, k: int = 10) -> str:
+    qtf = tokenize_query(query, CONFIG)
+    dlq = fieldnorm_case_sql("dl.doc_len")
+    k1, b = DEFAULT_K1, DEFAULT_B
+    return f"""
+WITH {_TOK_CTE},
+qterms AS (SELECT * FROM {_values_clause(qtf)}),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * {k1 + 1.0}
+           / (tf.tf + {k1} * ({1.0 - b} + {b} * ({dlq}) / c.avgdl))
+           * q.query_freq
+         ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+),
+j AS (
+  SELECT s.doc_id, d.lang AS part, s.score
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY score DESC, part ASC, doc_id ASC)::INT AS rank,
+       part, doc_id, round(score, 4) AS score
+FROM j
+ORDER BY rank
+LIMIT {k}
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over the MATERIALIZED index: the query is a partition-
     pruned scan of n_probe list dirs, zero query-time Python (rows-only
@@ -694,6 +765,7 @@ def harness_queries() -> dict:
         "tokenize_tf": q_tokenize_tf,
         "tokenize_pg_web": q_tokenize_pg_web,
         "bm25_topk_resolve": q_topk_resolve,
+        "bm25_topk_partitioned": q_topk_partitioned,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash_pairs": q_simhash_pairs,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -728,6 +800,7 @@ def harness_oracle_sql() -> dict:
         "bm25_score_texts": score_texts_oracle_sql(QUERY_MULTI),
         "tokenize_tf": tokenize_tf_oracle_sql(),
         "bm25_topk_resolve": topk_resolve_oracle_sql(QUERY_MULTI),
+        "bm25_topk_partitioned": partitioned_topk_oracle_sql(QUERY_MULTI),
         "dedup_exact": dedup_exact_oracle_sql(),
         "dedup_ngram_jaccard": ngram_jaccard_oracle_sql(
             0.1, JACCARD_MAX_SHINGLE_DF
