@@ -5,15 +5,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Sections:
-- documents: build the english-config index over
-  $SPARK_GRAFT_SF_DIR/documents.parquet and run the token-bucketed
-  query set (1/2/4/8 tokens, k=10, warm, median of 3) through the BMW
-  path — mirrors the reference's MS MARCO latency buckets
-  (BASELINE.md).
 - scaling: the north rule's two-cluster-size criterion, evidenced by
   building the same deterministic synthetic pages corpus (
   sources/pages.py) at local[N] and local[4N]; efficiency =
   (throughput_4N / throughput_N) / 4.
+- documents: build the english-config index over
+  $SPARK_GRAFT_SF_DIR/documents.parquet (the oracle-gated corpus).
+- serving (headline): build the 1M-doc pages index (english AND the
+  pg_english conformance config), then run the token-bucketed query
+  set (1/2/4/8 tokens, k=10, warm, median of 3) through the BMW path,
+  a 64-query batch, and a 16-client concurrent run against it —
+  mirrors the reference's MS MARCO latency/TPS tables (BASELINE.md)
+  at a comparable per-node corpus size.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -47,12 +50,19 @@ SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 N_BATCH_QUERIES = int(os.environ.get("SPARK_GRAFT_BATCH_QUERIES", "64"))
 
+#: latency buckets run against the 1M-doc synthetic pages index (the
+#: round-2 verdict: sf0.1's 5k-doc index flattered the engine) —
+#: terms span the Zipf head..tail of the pages vocabulary, mirroring
+#: the reference's MS MARCO mixed-df buckets
+N_LATENCY_DOCS = int(os.environ.get("SPARK_GRAFT_LATENCY_DOCS", "1000000"))
 QUERY_BUCKETS = {
-    "q_1tok": "window",
-    "q_2tok": "join stream",
-    "q_4tok": "spark query table window",
-    "q_8tok": "join merge sort filter group window batch stream",
+    "q_1tok": "t500",
+    "q_2tok": "t200 t1500",
+    "q_4tok": "t100 t900 t4000 t12000",
+    "q_8tok": "t50 t300 t800 t2000 t5000 t9000 t15000 t25000",
 }
+N_CONCURRENT_CLIENTS = int(os.environ.get("SPARK_GRAFT_CLIENTS", "16"))
+QUERIES_PER_CLIENT = 6
 
 
 def _new_session(cores: int, tag: str):
@@ -189,9 +199,43 @@ def main() -> None:
     extra["documents_docs_per_sec"] = round(n_docs / build_sec, 1)
     total += build_sec
 
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # ---- headline serving section: 1M-doc pages index ----
+    # (round-2 verdict #6: the latency buckets must run against the
+    # 1M-doc index, with the concurrent number alongside)
+    pages_1m = _prepare_pages(spark, N_LATENCY_DOCS)
+    idx_dir = "/tmp/pgts_bench_1m"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    pages = spark.read.parquet(pages_1m)
+    t0 = time.time()
+    build_index(
+        spark, pages, idx_dir, key_col="url", text_col="text",
+        config="english", n_buckets=32,
+    )
+    build_1m_sec = time.time() - t0
+    results["build_pages_1m"] = round(build_1m_sec, 3)
+    extra["pages_1m_docs_per_sec"] = round(N_LATENCY_DOCS / build_1m_sec, 1)
+    total += build_1m_sec
+
+    # pg_english (PG-parser conformance config) build throughput on
+    # the same corpus — the round-2 "4x parser tax" metric
+    pg_dir = "/tmp/pgts_bench_1m_pg"
+    shutil.rmtree(pg_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        spark, pages, pg_dir, key_col="url", text_col="text",
+        config="pg_english", n_buckets=32,
+    )
+    pg_sec = time.time() - t0
+    extra["pg_english_1m_build_sec"] = round(pg_sec, 2)
+    extra["pg_english_1m_docs_per_sec"] = round(N_LATENCY_DOCS / pg_sec, 1)
+    total += pg_sec
+    shutil.rmtree(pg_dir, ignore_errors=True)
+
     idx = BM25Index(spark, idx_dir)
     idx.prewarm()  # dictionary pinned in memory (resident-dict analog)
-    topk_bmw(idx, "warmup query", 10).collect()  # JIT/UDF warmup
+    topk_bmw(idx, "t777 t8888", 10).collect()  # JIT/UDF warmup
     for key, q in QUERY_BUCKETS.items():
         # warm latency, mirroring the reference's warm single-client
         # p50s: one untimed pass loads this query's df cache + plan,
@@ -209,8 +253,8 @@ def main() -> None:
     # Spark's answer to the reference's 15.9 q/s single-client number
     from pg_textsearch_spark.operators.topk import topk_batch
 
-    vocab = ["window", "join", "stream", "batch", "filter", "sort",
-             "group", "merge", "table", "query", "spark", "scan"]
+    vocab = [f"t{r}" for r in (40, 150, 420, 900, 1800, 3500, 7000,
+                               12000, 20000, 33000, 5, 260)]
     batch = {
         f"q{i}": " ".join(vocab[(i + j) % len(vocab)] for j in range(1 + i % 4))
         for i in range(N_BATCH_QUERIES)
@@ -221,6 +265,48 @@ def main() -> None:
     results["batch_queries"] = round(batch_sec, 3)
     extra["batch_queries_per_sec"] = round(N_BATCH_QUERIES / batch_sec, 1)
     total += batch_sec
+
+    # concurrent clients: independent threads issuing single top-k
+    # queries against the shared 1M-doc index (the reference's
+    # 16-client TPS table) — q/s = total queries / wall
+    import threading
+
+    rng_terms = [f"t{13 + 97 * i % 30000}" for i in range(
+        N_CONCURRENT_CLIENTS * QUERIES_PER_CLIENT * 2
+    )]
+    topk_bmw(idx, rng_terms[0] + " " + rng_terms[1], 10).collect()  # warm
+    errs: list = []
+
+    def client(cid: int) -> None:
+        try:
+            for j in range(QUERIES_PER_CLIENT):
+                base = (cid * QUERIES_PER_CLIENT + j) * 2
+                q = f"{rng_terms[base]} {rng_terms[base + 1]}"
+                topk_bmw(idx, q, 10).collect()
+        except Exception as exc:  # surface, don't hang the bench
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=client, args=(c,))
+        for c in range(N_CONCURRENT_CLIENTS)
+    ]
+    t0 = time.time()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    conc_sec = time.time() - t0
+    assert not errs, errs[0]
+    n_q = N_CONCURRENT_CLIENTS * QUERIES_PER_CLIENT
+    extra["concurrent"] = {
+        "clients": N_CONCURRENT_CLIENTS,
+        "queries": n_q,
+        "wall_sec": round(conc_sec, 2),
+        "q_per_sec": round(n_q / conc_sec, 1),
+        "index_docs": N_LATENCY_DOCS,
+    }
+    total += conc_sec
+
     spark.stop()
     shutil.rmtree(idx_dir, ignore_errors=True)
 

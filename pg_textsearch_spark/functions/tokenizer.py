@@ -576,10 +576,12 @@ def tokenize_vector_udf(config_name: str = "english"):
 
     @pandas_udf(_VECTOR_SCHEMA)
     def _tok(texts: pd.Series) -> pd.Series:
+        memo: dict = {}  # shared field->lexeme cache across the batch
+
         def one(t):
             if t is None:
                 return []
-            counts = tokenize(t, cfg)
+            counts = tokenize(t, cfg, _memo=memo)
             return [{"term": k, "tf": v} for k, v in sorted(counts.items())]
 
         return texts.map(one)

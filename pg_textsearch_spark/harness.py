@@ -751,12 +751,26 @@ def q_bmw_topk(query: str, k: int = 10):
     return run
 
 
+def q_topk_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive driver-side serving path (operators/serve.py):
+    same kernels and exact f64 scores as BMW, zero Spark jobs in the
+    hot path — gated against the same index-free oracle."""
+    from pg_textsearch_spark.operators.serve import topk_serve
+
+    idx = ensure_index(spark, sf_dir)
+    rows = topk_serve(idx, QUERY_MULTI, k=10)
+    return spark.createDataFrame(
+        rows, "rank int, doc_id bigint, score double"
+    ).select("rank", "doc_id", F.round("score", 4).alias("score"))
+
+
 def harness_queries() -> dict:
     return {
         "bm25_topk_multi": q_bm25_topk(QUERY_MULTI),
         "bm25_topk_single": q_bm25_topk(QUERY_SINGLE),
         "bm25_topk_repeat": q_bm25_topk(QUERY_REPEAT),
         "bm25_topk_bmw": q_bmw_topk(QUERY_MULTI),
+        "bm25_topk_serve": q_topk_serve,
         "bm25_topk_batch": q_topk_batch,
         "bm25_corpus_stats": q_corpus_stats,
         "bm25_term_df": q_term_df,
@@ -791,6 +805,7 @@ def harness_oracle_sql() -> dict:
     return {
         "bm25_topk_multi": bm25_topk_oracle_sql(QUERY_MULTI),
         "bm25_topk_bmw": bm25_topk_oracle_sql(QUERY_MULTI),
+        "bm25_topk_serve": bm25_topk_oracle_sql(QUERY_MULTI),
         "bm25_topk_single": bm25_topk_oracle_sql(QUERY_SINGLE),
         "bm25_topk_repeat": bm25_topk_oracle_sql(QUERY_REPEAT),
         "bm25_topk_batch": topk_batch_oracle_sql(BATCH_QUERIES),

@@ -1,0 +1,98 @@
+"""Driver-side serving path (operators/serve.py): result parity with
+the distributed BMW/exhaustive paths, df/delete correctness, and the
+latency contract (no Spark job in the hot path)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_textsearch_spark.index.builder import build_index
+from pg_textsearch_spark.operators.bmw import topk_bmw
+from pg_textsearch_spark.operators.serve import (
+    ServingIndex,
+    topk_auto,
+    topk_serve,
+)
+from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+
+QUERIES = [
+    "spark query table",
+    "window",
+    "join join merge",
+    "stream batch filter nosuchterm",
+    "nosuchterm",
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = str(tmp_path_factory.mktemp("serve") / "idx")
+    build_index(spark, docs, d, config="ascii", n_buckets=8)
+    return BM25Index(spark, d)
+
+
+def test_serve_matches_distributed_paths(idx):
+    sv = ServingIndex(idx)
+    for q in QUERIES:
+        want = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in topk_exhaustive(idx, q, k=10).collect()
+        ]
+        got = topk_serve(idx, q, k=10, _serving=sv)
+        assert got == want, (q, got, want)
+        bmw = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in topk_bmw(idx, q, k=10).collect()
+        ]
+        assert got == bmw, q
+
+
+def test_serve_term_dfs_matches_index(idx):
+    sv = ServingIndex(idx)
+    terms = ["join", "window", "stream", "nosuchterm"]
+    assert sv.term_dfs(terms) == idx.term_dfs(terms)
+
+
+def test_serve_under_deletes(idx, spark, tmp_path):
+    import shutil
+
+    d = str(tmp_path / "delidx")
+    shutil.copytree(idx.index_dir, d)
+    di = BM25Index(spark, d)
+    from pg_textsearch_spark.index.deletes import delete_docs
+
+    top = topk_serve(di, "window", k=3)
+    victims = [r[1] for r in top[:2]]
+    delete_docs(di, victims)
+    sv = ServingIndex(di)
+    got = topk_serve(di, "window", k=10, _serving=sv)
+    assert not ({r[1] for r in got} & set(victims))
+    want = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in topk_exhaustive(di, "window", k=10).collect()
+    ]
+    assert got == want
+
+
+def test_serve_is_interactive_fast(idx):
+    sv = ServingIndex(idx)
+    topk_serve(idx, "spark query table", k=10, _serving=sv)  # warm caches
+    t0 = time.perf_counter()
+    for _ in range(5):
+        topk_serve(idx, "spark query table", k=10, _serving=sv)
+    per_q = (time.perf_counter() - t0) / 5
+    # the whole point: well under the ~0.25 s Spark job floor
+    assert per_q < 0.05, per_q
+
+
+def test_topk_auto_dispatch(idx):
+    small = topk_auto(idx, "window", k=5)
+    rows = small.collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # forcing the threshold to 0 routes through the distributed path
+    big = topk_auto(idx, "window", k=5, max_postings=0)
+    assert [
+        (r["rank"], r["doc_id"], round(r["score"], 9)) for r in big.collect()
+    ] == [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows]
