@@ -326,6 +326,92 @@ def _score_wand(
     return topk.rows()
 
 
+def _score_accumulate(
+    items,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dead=None,
+    floor: float = -1.0,
+) -> list[tuple[int, float, float]]:
+    """Vectorized block-max scoring — the engine's default multi-term
+    kernel.
+
+    ``items``: iterable of (term, idf, qf, blocks) — one entry per
+    (term, run[, seg]) posting row. The per-doc Python WAND loop
+    (``_score_wand``) costs ~50 us/posting; this kernel applies the
+    same SAFE block skip as WAND's refinement bound — skip block i of
+    term t when ``upper_i + sum(other terms' max_score) < floor``
+    (any doc in the block then has true total < floor <= k-th best,
+    reference bmw.c:1526-1571 algebra) — then decodes the survivors
+    and group-sums the exact float64 per-posting scores with numpy
+    (~30 ns/posting). Results are identical to WAND and to exhaustive
+    scoring: pruning uses float32 metadata bounds only, emitted scores
+    are full-precision f64 totals, tie-break (score DESC, doc ASC).
+
+    Without a floor (single runs warming up, no bootstrap) nothing is
+    skipped and the kernel is simply a vectorized exhaustive
+    accumulate — which at run granularity (<= 8192 docs x terms) is
+    faster than any skip logic.
+    """
+    metas = []
+    term_max: dict = {}
+    for term, idf, qf, blocks in items:
+        if blocks is None or len(blocks) == 0:
+            continue
+        bmt = np.asarray(
+            [blk["block_max_tf"] for blk in blocks], dtype=np.int64
+        )
+        bmn = np.asarray(
+            [blk["block_max_norm"] for blk in blocks], dtype=np.int64
+        )
+        dl = FIELDNORM_DECODE_TABLE[bmn]
+        uppers = (
+            bm25_term_score32(bmt, dl, np.float32(1.0), avgdl, k1, b)
+            * np.float32(idf * qf)
+        )
+        metas.append((term, idf, qf, blocks, uppers))
+        m = float(uppers.max())
+        if m > term_max.get(term, float("-inf")):
+            term_max[term] = m
+    if not metas:
+        return []
+    sum_max = sum(term_max.values())
+
+    ids_parts, s64_parts = [], []
+    for term, idf, qf, blocks, uppers in metas:
+        others = np.float32(sum_max - term_max[term])
+        if floor > 0:
+            keep = np.flatnonzero(uppers + others >= np.float32(floor))
+        else:
+            keep = np.arange(len(blocks))
+        for bi in keep:
+            bids, btfs, bfns = decompress_block(bytes(blocks[bi]["payload"]))
+            dl = FIELDNORM_DECODE_TABLE[bfns.astype(np.int64)]
+            ids_parts.append(bids.astype(np.int64))
+            s64_parts.append(_term_score64(btfs, dl, idf, qf, avgdl, k1, b))
+    if not ids_parts:
+        return []
+    ids = np.concatenate(ids_parts)
+    s64 = np.concatenate(s64_parts)
+    if dead:
+        alive = ~np.isin(ids, np.fromiter(dead, dtype=np.int64))
+        ids, s64 = ids[alive], s64[alive]
+        if not len(ids):
+            return []
+    uids, inv = np.unique(ids, return_inverse=True)
+    totals = np.bincount(inv, weights=s64)
+    kk = min(int(k), len(uids))
+    # exact top-k by (total DESC, doc_id ASC): uids ascending makes the
+    # stable lexsort tie-break automatic
+    order = np.lexsort((uids, -totals))[:kk]
+    return [
+        (int(uids[i]), float(np.float32(totals[i])), float(totals[i]))
+        for i in order
+    ]
+
+
 #: separator for the phase-2 (term, run) fetch key — never appears in
 #: tokens (the tokenizer strips control characters)
 _KEY_SEP = "\x1f"
@@ -463,6 +549,7 @@ def topk_bmw(
     k: int = 10,
     bootstrap: bool | None = None,
     small_query_postings: int | None = None,
+    kernel: str = "accumulate",
     _bootstrap_stats: dict | None = None,
 ) -> DataFrame:
     """Distributed BMW top-k. Same result contract as topk_exhaustive
@@ -514,6 +601,30 @@ def topk_bmw(
         )
 
     def score_run(pdf: pd.DataFrame) -> pd.DataFrame:
+        dead = dead_bc.value if dead_bc is not None else None
+        if not single and kernel == "accumulate":
+            # vectorized block-max kernel (see _score_accumulate):
+            # identical results, ~1000x less per-posting Python
+            items = [
+                (
+                    row.term,
+                    iqmap[row.term][0],
+                    iqmap[row.term][1],
+                    row.blocks,
+                )
+                for row in pdf.itertuples()
+            ]
+            rows = _score_accumulate(
+                items, kk, k1, b, avgdl, dead=dead, floor=floor
+            )
+            if not rows:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            return pd.DataFrame(
+                {
+                    "doc_id": np.asarray([r[0] for r in rows], dtype=np.int64),
+                    "score": np.asarray([r[2] for r in rows], dtype=np.float64),
+                }
+            )
         cursors = [
             _Cursor(
                 row.blocks, wmap[row.term], k1, b, avgdl,
@@ -524,7 +635,6 @@ def topk_bmw(
         cursors = [c for c in cursors if c.alive]
         if not cursors:
             return pd.DataFrame({"doc_id": [], "score": []})
-        dead = dead_bc.value if dead_bc is not None else None
         rows = (
             _score_single_term(cursors, kk, dead, floor)
             if single

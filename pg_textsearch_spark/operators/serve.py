@@ -33,11 +33,14 @@ import os
 
 import numpy as np
 
+from pg_textsearch_spark.functions.bm25 import bm25_term_score32
+from pg_textsearch_spark.functions.fieldnorm import FIELDNORM_DECODE_TABLE
 from pg_textsearch_spark.index.builder import term_bucket
+from pg_textsearch_spark.index.codec import decompress_block
 from pg_textsearch_spark.operators.bmw import (
     _Cursor,
+    _score_accumulate,
     _score_single_term,
-    _score_wand,
 )
 from pg_textsearch_spark.functions.tokenizer import tokenize_query
 
@@ -192,25 +195,85 @@ def topk_serve(index, query: str, k: int = 10, _serving: ServingIndex | None = N
     if not weights:
         return []
     k1, b, avgdl = index.k1, index.b, index.avgdl
-    cursors = []
-    for term, blocks in sv.posting_rows(list(weights)):
-        idf, qf = weights[term]
-        c = _Cursor(blocks, idf * qf, k1, b, avgdl, idf=idf, qf=qf)
-        if c.alive:
-            cursors.append(c)
-    if not cursors:
-        return []
     dead = sv.dead_ids()
-    rows = (
-        _score_single_term(cursors, int(k), dead)
-        if len(weights) == 1
-        else _score_wand(cursors, int(k), dead)
-    )
+    if len(weights) == 1:
+        cursors = []
+        for term, blocks in sv.posting_rows(list(weights)):
+            idf, qf = weights[term]
+            c = _Cursor(blocks, idf * qf, k1, b, avgdl, idf=idf, qf=qf)
+            if c.alive:
+                cursors.append(c)
+        if not cursors:
+            return []
+        rows = _score_single_term(cursors, int(k), dead)
+    else:
+        items = [
+            (term, weights[term][0], weights[term][1], blocks)
+            for term, blocks in sv.posting_rows(list(weights))
+        ]
+        if not items:
+            return []
+        # local two-phase floor (no deletes pending: dead set makes the
+        # partial-sum bound unsafe, exactly like the distributed path)
+        floor = -1.0 if dead else _local_floor(items, int(k), k1, b, avgdl)
+        rows = _score_accumulate(
+            items, int(k), k1, b, avgdl, dead=dead, floor=floor
+        )
     rows.sort(key=lambda r: (-r[2], r[0]))
     return [
         (rank, doc_id, s64)
         for rank, (doc_id, _s32, s64) in enumerate(rows[: int(k)], start=1)
     ]
+
+
+def _local_floor(items, k: int, k1: float, b: float, avgdl: float) -> float:
+    """In-process analog of bmw._bootstrap_floor: rank posting rows by
+    their max block upper, decode just enough rows to prove k distinct
+    docs, and return the k-th best per-doc partial sum (shaved by the
+    same f32 guard). Costs a handful of block decodes — no Spark."""
+    metas = []
+    for term, idf, qf, blocks in items:
+        if not blocks:
+            continue
+        bmt = np.asarray([blk["block_max_tf"] for blk in blocks], dtype=np.int64)
+        bmn = np.asarray([blk["block_max_norm"] for blk in blocks], dtype=np.int64)
+        dl = FIELDNORM_DECODE_TABLE[bmn]
+        upper = float(
+            (
+                bm25_term_score32(bmt, dl, np.float32(1.0), avgdl, k1, b)
+                * np.float32(idf * qf)
+            ).max()
+        )
+        ndocs = int(sum(blk["doc_count"] for blk in blocks))
+        metas.append((upper, ndocs, term, idf, qf, blocks))
+    if not metas:
+        return -1.0
+    metas.sort(key=lambda m: -m[0])
+    n_terms = len({m[2] for m in metas})
+    needed = k * n_terms
+    ids_parts, s32_parts, covered = [], [], 0
+    for upper, ndocs, term, idf, qf, blocks in metas:
+        for blk in blocks:
+            bids, btfs, bfns = decompress_block(bytes(blk["payload"]))
+            dl = FIELDNORM_DECODE_TABLE[bfns.astype(np.int64)]
+            ids_parts.append(bids.astype(np.int64))
+            s32_parts.append(
+                (
+                    bm25_term_score32(btfs, dl, np.float32(1.0), avgdl, k1, b)
+                    * np.float32(idf * qf)
+                ).astype(np.float64)
+            )
+        covered += ndocs
+        if covered >= needed:
+            break
+    ids = np.concatenate(ids_parts)
+    s = np.concatenate(s32_parts)
+    uids, inv = np.unique(ids, return_inverse=True)
+    if len(uids) < k:
+        return -1.0
+    partials = np.bincount(inv, weights=s)
+    kth = float(np.partition(partials, len(partials) - k)[len(partials) - k])
+    return float(np.float32(kth) * (1.0 - 4e-6)) if kth > 0 else -1.0
 
 
 #: above this many total postings (sum of query-term dfs) the pruned

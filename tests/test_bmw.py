@@ -231,3 +231,52 @@ def test_f32_tied_scores_straddling_k_boundary(spark, tmp_path):
         # the true winners are the HIGHEST-tf docs (largest doc_ids
         # here), exactly the rows an f32-ranked heap would evict
         assert [doc for _, doc, _ in exh] == [n - 1 - i for i in range(5)]
+
+
+def test_accumulate_and_wand_kernels_agree(spark, tmp_path):
+    """The vectorized block-max accumulate kernel (default) and the
+    reference-shaped per-doc WAND kernel must produce the same ranking
+    as exhaustive scoring: identical (rank, doc_id) sequences and
+    scores equal to within f64 summation-order noise (the three paths
+    sum identical per-posting f64 term scores, but in different per-doc
+    term orders — f64 addition is not associative, so the last ulp of
+    a multi-term total can differ)."""
+    import math
+    import random
+
+    from pg_textsearch_spark.index.builder import build_index
+    from pg_textsearch_spark.operators.bmw import topk_bmw
+    from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randrange(3, 60))))
+        for i in range(400)
+    ]
+    # include equal-df twin terms: the skip bound must key per TERM,
+    # not per (idf, qf) weight (two terms can share a weight)
+    rows += [(400 + i, "twina twinb filler") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "kern")
+    build_index(spark, docs, d, config="ascii", n_buckets=4)
+    idx = BM25Index(spark, d)
+    def same(a, b, q):
+        assert [(r, d) for r, d, _ in a] == [(r, d) for r, d, _ in b], q
+        for (_, _, sa), (_, _, sb) in zip(a, b):
+            assert math.isclose(sa, sb, rel_tol=1e-12), (q, sa, sb)
+
+    for q in ("w1 w2", "w3 w4 w5 w6", "twina twinb", "w0 w0 w7",
+              "w1 w2 w3 w4 w5 w6 w7 w8"):
+        exh = [(r["rank"], r["doc_id"], r["score"])
+               for r in topk_exhaustive(idx, q, k=10).collect()]
+        acc = [(r["rank"], r["doc_id"], r["score"])
+               for r in topk_bmw(idx, q, k=10).collect()]
+        wand = [(r["rank"], r["doc_id"], r["score"])
+                for r in topk_bmw(idx, q, k=10, kernel="wand").collect()]
+        same(acc, exh, q)
+        same(wand, exh, q)
+        # bootstrap floor composes with the vectorized kernel too
+        boot = [(r["rank"], r["doc_id"], r["score"])
+                for r in topk_bmw(idx, q, k=10, bootstrap=True).collect()]
+        same(boot, exh, q)

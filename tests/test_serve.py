@@ -25,6 +25,19 @@ QUERIES = [
 ]
 
 
+def _same_ranking(a, b, ctx):
+    """(rank, doc_id) exactly equal; scores equal to within f64
+    summation-order noise (paths sum identical per-posting f64 term
+    scores in different per-doc term orders)."""
+    import math
+
+    assert [(r, d) for r, d, _ in a] == [(r, d) for r, d, _ in b], (
+        ctx, a, b,
+    )
+    for (_, _, sa), (_, _, sb) in zip(a, b):
+        assert math.isclose(sa, sb, rel_tol=1e-12), (ctx, sa, sb)
+
+
 @pytest.fixture(scope="module")
 def idx(spark, tmp_path_factory):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -41,12 +54,12 @@ def test_serve_matches_distributed_paths(idx):
             for r in topk_exhaustive(idx, q, k=10).collect()
         ]
         got = topk_serve(idx, q, k=10, _serving=sv)
-        assert got == want, (q, got, want)
+        _same_ranking(got, want, q)
         bmw = [
             (r["rank"], r["doc_id"], r["score"])
             for r in topk_bmw(idx, q, k=10).collect()
         ]
-        assert got == bmw, q
+        _same_ranking(got, bmw, q)
 
 
 def test_serve_term_dfs_matches_index(idx):
@@ -73,7 +86,7 @@ def test_serve_under_deletes(idx, spark, tmp_path):
         (r["rank"], r["doc_id"], r["score"])
         for r in topk_exhaustive(di, "window", k=10).collect()
     ]
-    assert got == want
+    _same_ranking(got, want, "deletes")
 
 
 def test_serve_is_interactive_fast(idx):
