@@ -249,6 +249,24 @@ def main() -> None:
         results[key] = round(statistics.median(times), 3)
         total += results[key]
 
+    # interactive serving path (operators/serve.py): the same index,
+    # the same kernels, driver-side — the answer to the reference's
+    # warm 5-178 ms single-query p50s (Spark's ~0.25 s per-job floor
+    # never applies; results oracle-gated identical to topk_bmw)
+    from pg_textsearch_spark.operators.serve import ServingIndex, topk_serve
+
+    sv = ServingIndex(idx)
+    topk_serve(idx, "t777 t8888", 10, _serving=sv)  # warm file listings
+    for key, q in QUERY_BUCKETS.items():
+        topk_serve(idx, q, 10, _serving=sv)  # warm this query's dfs
+        times = []
+        for _ in range(5):
+            t0 = time.time()
+            topk_serve(idx, q, 10, _serving=sv)
+            times.append(time.time() - t0)
+        results[f"serve_{key}"] = round(statistics.median(times), 4)
+        total += results[f"serve_{key}"]
+
     # batched query throughput: N queries evaluated in one pass —
     # Spark's answer to the reference's 15.9 q/s single-client number
     from pg_textsearch_spark.operators.topk import topk_batch
@@ -307,6 +325,76 @@ def main() -> None:
     }
     total += conc_sec
 
+    # concurrent INTERACTIVE serving: the same client mix through
+    # topk_serve (one shared ServingIndex, as a serving process would
+    # run) — the apples-to-apples row for the reference's 91.4 TPS
+    serve_errs: list = []
+    n_serve_q = N_CONCURRENT_CLIENTS * QUERIES_PER_CLIENT
+
+    def serve_client(cid: int) -> None:
+        try:
+            for j in range(QUERIES_PER_CLIENT):
+                base = (cid * QUERIES_PER_CLIENT + j) * 2
+                topk_serve(
+                    idx, f"{rng_terms[base]} {rng_terms[base + 1]}", 10,
+                    _serving=sv,
+                )
+        except Exception as exc:
+            serve_errs.append(exc)
+
+    serve_client(0)  # warm the term-df cache for a fair wall clock
+    threads = [
+        threading.Thread(target=serve_client, args=(c,))
+        for c in range(N_CONCURRENT_CLIENTS)
+    ]
+    t0 = time.time()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    sconc_sec = time.time() - t0
+    assert not serve_errs, serve_errs[0]
+    extra["concurrent_serve"] = {
+        "clients": N_CONCURRENT_CLIENTS,
+        "queries": n_serve_q,
+        "wall_sec": round(sconc_sec, 3),
+        "q_per_sec": round(n_serve_q / sconc_sec, 1),
+        "index_docs": N_LATENCY_DOCS,
+    }
+    total += sconc_sec
+
+    # serving-tier process pool: one Spark-free worker per client
+    # (LocalIndex — no JVM in any worker), the shape a real serving
+    # tier takes on shared storage; in-thread serving above is
+    # GIL-bound, this is the multi-core number. More queries per
+    # client so pool startup amortizes out of the per-query figure.
+    import multiprocessing as mp
+
+    pool_q_per_client = QUERIES_PER_CLIENT * 8
+    pool_batches = []
+    for c in range(N_CONCURRENT_CLIENTS):
+        qs = []
+        for j in range(pool_q_per_client):
+            base = ((c * pool_q_per_client + j) * 2) % (len(rng_terms) - 1)
+            qs.append(f"{rng_terms[base]} {rng_terms[base + 1]}")
+        pool_batches.append(qs)
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(
+        min(N_CONCURRENT_CLIENTS, CPUS), _pool_init, (idx_dir,)
+    ) as pool:
+        pool.map(_pool_serve, [b[:1] for b in pool_batches])  # warm
+        t0 = time.time()
+        done = sum(pool.map(_pool_serve, pool_batches))
+        pconc_sec = time.time() - t0
+    extra["concurrent_serve_procs"] = {
+        "workers": min(N_CONCURRENT_CLIENTS, CPUS),
+        "queries": done,
+        "wall_sec": round(pconc_sec, 3),
+        "q_per_sec": round(done / pconc_sec, 1),
+        "index_docs": N_LATENCY_DOCS,
+    }
+    total += pconc_sec
+
     spark.stop()
     shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -324,6 +412,30 @@ def main() -> None:
         **extra,
     }
     print(json.dumps(out))
+
+
+_POOL_SV = None
+
+
+def _pool_init(index_dir: str) -> None:
+    """Serving-pool worker init: a Spark-free LocalIndex handle —
+    no JVM, no SparkSession anywhere in the worker process."""
+    global _POOL_SV
+    from pg_textsearch_spark.operators.serve import LocalIndex, ServingIndex
+
+    li = LocalIndex(index_dir)
+    _POOL_SV = (li, ServingIndex(li))
+
+
+def _pool_serve(queries: list[str]) -> int:
+    from pg_textsearch_spark.operators.serve import topk_serve
+
+    li, sv = _POOL_SV
+    n = 0
+    for q in queries:
+        topk_serve(li, q, 10, _serving=sv)
+        n += 1
+    return n
 
 
 def _scale_child(cores: int) -> None:

@@ -45,6 +45,57 @@ from pg_textsearch_spark.operators.bmw import (
 from pg_textsearch_spark.functions.tokenizer import tokenize_query
 
 
+class LocalIndex:
+    """Spark-free index handle for serving processes.
+
+    Exposes the same stats surface a ``BM25Index`` does (manifest,
+    corpus stats, stamp/delete discipline) from the on-disk manifest
+    alone — a serving tier (one process per core, shared storage) can
+    ``fork``/spawn workers holding one of these without a JVM or a
+    SparkSession anywhere in the process. The reference's serving
+    architecture is exactly this shape: each backend scans local
+    segment files (src/segment/scan.c:59-178); Spark stays the
+    build/maintenance/batch engine.
+    """
+
+    def __init__(self, index_dir: str):
+        import json
+
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.config: str = self.manifest["config"]
+        self.k1: float = self.manifest["k1"]
+        self.b: float = self.manifest["b"]
+        self.n_buckets: int = self.manifest["n_buckets"]
+
+    def _stamp(self):
+        return (
+            int(self.manifest.get("deleted_docs", 0)),
+            tuple(s["seg_id"] for s in self.manifest["segments"]),
+        )
+
+    @property
+    def num_docs(self) -> int:
+        return sum(s["num_docs"] for s in self.manifest["segments"]) - int(
+            self.manifest.get("deleted_docs", 0)
+        )
+
+    @property
+    def total_tokens(self) -> int:
+        return sum(
+            s["total_tokens"] for s in self.manifest["segments"]
+        ) - int(self.manifest.get("deleted_tokens_quantized", 0))
+
+    @property
+    def avgdl(self) -> float:
+        n = self.num_docs
+        return (self.total_tokens / n) if n else 0.0
+
+    def has_deletes(self) -> bool:
+        return int(self.manifest.get("deleted_docs", 0)) > 0
+
+
 def _parquet_files(root: str) -> list[str]:
     out = []
     for dirpath, _dirs, files in os.walk(root):

@@ -100,6 +100,56 @@ def test_serve_is_interactive_fast(idx):
     assert per_q < 0.05, per_q
 
 
+def test_local_index_serving_matches(idx):
+    """LocalIndex (Spark-free handle) serves identical results to the
+    BM25Index-backed serving path — same manifest stats, same kernels."""
+    from pg_textsearch_spark.operators.serve import LocalIndex
+
+    li = LocalIndex(idx.index_dir)
+    assert (li.num_docs, li.total_tokens, li.config, li.n_buckets) == (
+        idx.num_docs, idx.total_tokens, idx.config, idx.n_buckets,
+    )
+    assert li.avgdl == idx.avgdl
+    sv_li = ServingIndex(li)
+    sv = ServingIndex(idx)
+    for q in QUERIES:
+        assert topk_serve(li, q, k=10, _serving=sv_li) == topk_serve(
+            idx, q, k=10, _serving=sv
+        ), q
+
+
+def test_local_index_serving_needs_no_jvm(idx):
+    """A fresh process can serve from the index directory without ever
+    starting a JVM/SparkSession (the serving-tier contract)."""
+    import json
+    import subprocess
+    import sys
+
+    code = f"""
+import json
+from pg_textsearch_spark.operators.serve import LocalIndex, ServingIndex, topk_serve
+li = LocalIndex({idx.index_dir!r})
+rows = topk_serve(li, "spark query table", k=5, _serving=ServingIndex(li))
+import pyspark
+assert pyspark.SparkContext._active_spark_context is None, "a JVM was started"
+print(json.dumps(rows))
+"""
+    import os
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [tuple(r) for r in json.loads(out.stdout.strip().splitlines()[-1])]
+    sv = ServingIndex(idx)
+    assert rows == topk_serve(idx, "spark query table", k=5, _serving=sv)
+
+
 def test_topk_auto_dispatch(idx):
     small = topk_auto(idx, "window", k=5)
     rows = small.collect()
