@@ -59,6 +59,21 @@ def quantize_doc_len(lengths) -> np.ndarray:
     return decode_fieldnorm(encode_fieldnorm(lengths))
 
 
+def fieldnorm_encode_col(doc_len_col):
+    """JVM Column expression computing ``encode_fieldnorm(doc_len)`` —
+    ``size(filter(table, v -> v <= len)) - 1`` over the constant
+    256-entry decode table (the same element_at-on-literal-table
+    pattern as operators/score_expr). Replaces the build's pandas UDF:
+    with it, non-stemming word configs tokenize/encode entirely
+    JVM-side (the only Python in their build is the posting-block
+    kernel)."""
+    from pyspark.sql import functions as F
+
+    table = F.array(*[F.lit(int(v)) for v in FIELDNORM_DECODE_TABLE])
+    idx = F.size(F.filter(table, lambda v: v <= doc_len_col)) - 1
+    return F.greatest(idx, F.lit(0)).cast("int")
+
+
 def fieldnorm_case_sql(col: str = "doc_len") -> str:
     """ANSI-SQL expression computing ``decode(encode(col))``.
 

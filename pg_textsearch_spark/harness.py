@@ -437,6 +437,37 @@ def q_tokenize_pg_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark_token_table(docs, "doc_id", "text", "pg_english")
 
 
+def q_bm25vector_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25vector canonical text I/O (reference src/types/vector.c
+    tpvector_in/out, test/sql/vector.sql): tokenize each doc under the
+    gate config and emit the 'idx:{lexeme:tf,...}' form — entries
+    bytewise-sorted, empty docs as 'idx:{}'. The oracle rebuilds the
+    identical string with string_agg(... ORDER BY term)."""
+    from pg_textsearch_spark.functions.bm25vector import bm25vector_text_col
+
+    ensure_shipped(spark)
+    docs = documents(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        bm25vector_text_col(CONFIG, "docs_idx")("text").alias("vec"),
+    )
+
+
+def bm25vector_text_oracle_sql() -> str:
+    return f"""
+WITH {_TOK_CTE}
+SELECT d.doc_id,
+       'docs_idx:{{' ||
+       coalesce(
+         (SELECT string_agg(term || ':' || tf, ',' ORDER BY term)
+          FROM tf WHERE tf.doc_id = d.doc_id),
+         ''
+       ) || '}}' AS vec
+FROM documents d
+WHERE d.doc_id < 50
+"""
+
+
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted search: per-lang counts + best score over ALL docs
     matching any query term. The reference delegates faceting to plain
@@ -778,6 +809,7 @@ def harness_queries() -> dict:
         "bm25_score_texts": q_score_texts,
         "tokenize_tf": q_tokenize_tf,
         "tokenize_pg_web": q_tokenize_pg_web,
+        "bm25vector_text": q_bm25vector_text,
         "bm25_topk_resolve": q_topk_resolve,
         "bm25_topk_partitioned": q_topk_partitioned,
         "dedup_exact": q_dedup_exact,
@@ -814,6 +846,7 @@ def harness_oracle_sql() -> dict:
         "bm25_doclen_fieldnorm": doclen_oracle_sql(),
         "bm25_score_texts": score_texts_oracle_sql(QUERY_MULTI),
         "tokenize_tf": tokenize_tf_oracle_sql(),
+        "bm25vector_text": bm25vector_text_oracle_sql(),
         "bm25_topk_resolve": topk_resolve_oracle_sql(QUERY_MULTI),
         "bm25_topk_partitioned": partitioned_topk_oracle_sql(QUERY_MULTI),
         "dedup_exact": dedup_exact_oracle_sql(),

@@ -86,3 +86,31 @@ def test_sql_case_matches_numpy():
     ).fetchnumpy()["q"]
     want = decode_fieldnorm(encode_fieldnorm(lengths))
     assert np.array_equal(got.astype(np.int64), want)
+
+
+def test_encode_col_matches_numpy(spark):
+    """The JVM encode expression (builder's hot path) must agree with
+    the numpy encoder on every boundary and a wide length sweep."""
+    from pyspark.sql import functions as F
+
+    from pg_textsearch_spark.functions.fieldnorm import (
+        FIELDNORM_DECODE_TABLE,
+        fieldnorm_encode_col,
+    )
+
+    lengths = sorted(
+        set(range(0, 300))
+        | {int(v) for v in FIELDNORM_DECODE_TABLE}
+        | {int(v) + 1 for v in FIELDNORM_DECODE_TABLE}
+        | {int(v) - 1 for v in FIELDNORM_DECODE_TABLE if v > 0}
+        | {10**6, 10**9, 2**40}
+    )
+    df = spark.createDataFrame([(x,) for x in lengths], "doc_len long")
+    got = [
+        r["fn"]
+        for r in df.select(
+            fieldnorm_encode_col(F.col("doc_len")).alias("fn")
+        ).collect()
+    ]
+    want = encode_fieldnorm(np.asarray(lengths, dtype=np.int64)).tolist()
+    assert got == want

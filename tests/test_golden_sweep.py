@@ -68,3 +68,17 @@ def test_sweep_bmw_sample(idx):
         rows = topk_bmw(idx, queries[qid], k=10).collect()
         got = [(r["doc_id"], r["score"]) for r in rows]
         check(got, expected[qid], qid)
+
+
+def test_sweep_serve_all(idx):
+    """The interactive serving path (vectorized accumulate kernel +
+    in-process bootstrap floor) over ALL 200 golden queries — cheap,
+    since each answer is milliseconds with no Spark job."""
+    from pg_textsearch_spark.operators.serve import ServingIndex, topk_serve
+
+    queries, expected = load_golden()
+    sv = ServingIndex(idx)
+    for qid in sorted(queries):
+        rows = topk_serve(idx, queries[qid], k=10, _serving=sv)
+        got = [(doc_id, score) for _rank, doc_id, score in rows]
+        check(got, expected[qid], qid)
