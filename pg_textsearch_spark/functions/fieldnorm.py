@@ -63,10 +63,14 @@ def fieldnorm_encode_col(doc_len_col):
     """JVM Column expression computing ``encode_fieldnorm(doc_len)`` —
     ``size(filter(table, v -> v <= len)) - 1`` over the constant
     256-entry decode table (the same element_at-on-literal-table
-    pattern as operators/score_expr). Replaces the build's pandas UDF:
-    with it, non-stemming word configs tokenize/encode entirely
-    JVM-side (the only Python in their build is the posting-block
-    kernel)."""
+    pattern as operators/score_expr).
+
+    NOT used in the index build: higher-order array functions are
+    interpreted and disable whole-stage codegen for their stage, which
+    measured +33% on the 2M-page build (the tokenizer projection in
+    the same stage loses codegen). The build uses the Arrow-batched
+    UDF (builder._fieldnorm_udf); this expression exists for pure-SQL
+    pipelines that cannot run Python workers at all."""
     from pyspark.sql import functions as F
 
     table = F.array(*[F.lit(int(v)) for v in FIELDNORM_DECODE_TABLE])

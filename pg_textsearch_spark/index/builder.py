@@ -44,10 +44,7 @@ from pyspark.storagelevel import StorageLevel
 from pyspark.sql.functions import pandas_udf
 
 from pg_textsearch_spark.functions import bm25
-from pg_textsearch_spark.functions.fieldnorm import (
-    encode_fieldnorm,
-    fieldnorm_encode_col,
-)
+from pg_textsearch_spark.functions.fieldnorm import encode_fieldnorm
 from pg_textsearch_spark.functions.tokenizer import get_config
 from pg_textsearch_spark.index.blocks import BLOCKS_SCHEMA, build_blocks
 
@@ -73,6 +70,22 @@ def term_bucket(term: str, n_buckets: int) -> int:
 def term_bucket_expr(term_col, n_buckets: int):
     """JVM-side bucket expr — F.crc32 == zlib.crc32 on utf-8 bytes."""
     return F.pmod(F.crc32(term_col.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def _fieldnorm_udf():
+    # NOT the JVM fieldnorm_encode_col expression: higher-order
+    # array functions (filter/aggregate) are interpreted, which
+    # disables whole-stage codegen for the entire projection stage —
+    # measured +33% on the 2M-page build because the tokenizer
+    # split/filter in the SAME stage loses codegen. The Arrow-batched
+    # UDF keeps the JVM stage compiled and costs ~0.4 s per 2M docs.
+    @pandas_udf("int")
+    def _enc(doc_len: pd.Series) -> pd.Series:
+        return pd.Series(
+            encode_fieldnorm(doc_len.to_numpy(dtype=np.int64)).astype(np.int32)
+        )
+
+    return _enc
 
 
 _POSTINGS_ROW_SCHEMA = (
@@ -316,7 +329,7 @@ def _words_segment_dataframes(
     base = docs.select(
         F.col(doc_id_col).cast("long").alias("doc_id"), toks.alias("toks")
     ).withColumn("doc_len", F.size("toks").cast("long"))
-    base = base.withColumn("fieldnorm", fieldnorm_encode_col(F.col("doc_len")))
+    base = base.withColumn("fieldnorm", _fieldnorm_udf()("doc_len"))
     # doc-level rows only (id, toks, len, norm): far lighter to persist
     # than the round-1 token-level table
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
