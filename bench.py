@@ -44,9 +44,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # same job measures 0.95; the criterion is about whether the JOB
 # distributes, so size it in the regime the engine targets.
 N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "2000000"))
-# median of back-to-back runs in one warm JVM; min-of-N is biased DOWN
-# whenever one side catches a lucky outlier run
-SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+#: timed builds per scale-child JVM (after its JIT warmup build)
+SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1"))
+#: alternating (N, 4N) child pairs — see the epoch-noise note below
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 N_BATCH_QUERIES = int(os.environ.get("SPARK_GRAFT_BATCH_QUERIES", "64"))
 
@@ -152,30 +153,49 @@ def main() -> None:
         # N=2 vs 4N=8: measured raw process scaling on this box is
         # ~0.93 at 2->8 and ~0.58 at 8->32 (SMT ceiling); the Spark
         # efficiency is only meaningful below the hardware knee.
+        #
+        # ALTERNATING PAIRS: this sandbox VM has multi-minute slow
+        # epochs (same 2-core build measured 212-319 s across hours
+        # with identical code; 8-core 71-97 s). A single (N, 4N) pair
+        # lands each side in a different epoch and the ratio swings
+        # 0.62-0.95. Running the sides interleaved N,4N,N,4N,... and
+        # taking per-side MEDIANS puts both sides through the same
+        # epochs; per-side MIN is also reported (the noise is additive
+        # environmental load, so min approximates the unloaded build).
         n_big = min(CPUS, 8)
         n_small = max(1, n_big // 4)
         extra["scaling_cores"] = {"n": n_small, "4n": n_big}
-        for cores, key in ((n_small, "n"), (n_big, "4n")):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env={**os.environ, "PGTS_SCALE_CORES": str(cores),
-                     "SPARK_GRAFT_PAGES": str(N_PAGES)},
-                capture_output=True, text=True, timeout=3600,
-            )
-            sec = float(proc.stdout.strip().splitlines()[-1])
-            extra[f"scaling_build_sec_{key}"] = round(sec, 2)
-        thr_n = N_PAGES / extra["scaling_build_sec_n"]
-        thr_4n = N_PAGES / extra["scaling_build_sec_4n"]
+        samples: dict[str, list[float]] = {"n": [], "4n": []}
+        for _pair in range(SCALE_PAIRS):
+            for cores, key in ((n_small, "n"), (n_big, "4n")):
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env={**os.environ, "PGTS_SCALE_CORES": str(cores),
+                         "SPARK_GRAFT_PAGES": str(N_PAGES),
+                         "SPARK_GRAFT_SCALE_RUNS": str(SCALE_RUNS)},
+                    capture_output=True, text=True, timeout=3600,
+                )
+                samples[key].append(
+                    float(proc.stdout.strip().splitlines()[-1])
+                )
+        med = {k: statistics.median(v) for k, v in samples.items()}
+        mn = {k: min(v) for k, v in samples.items()}
+        extra["scaling_build_sec_n"] = round(med["n"], 2)
+        extra["scaling_build_sec_4n"] = round(med["4n"], 2)
+        ratio = n_big / n_small
         extra["scaling"] = {
             "pages_docs": N_PAGES,
             "cores_n": n_small,
             "cores_4n": n_big,
-            "docs_per_sec_n": round(thr_n, 1),
-            "docs_per_sec_4n": round(thr_4n, 1),
-            "efficiency": round((thr_4n / thr_n) / (n_big / n_small), 3),
+            "samples_sec_n": [round(s, 2) for s in samples["n"]],
+            "samples_sec_4n": [round(s, 2) for s in samples["4n"]],
+            "docs_per_sec_n": round(N_PAGES / med["n"], 1),
+            "docs_per_sec_4n": round(N_PAGES / med["4n"], 1),
+            "efficiency": round((med["n"] / med["4n"]) / ratio, 3),
+            "efficiency_min": round((mn["n"] / mn["4n"]) / ratio, 3),
         }
         results["build_pages_scaling"] = extra["scaling_build_sec_4n"]
-        total += extra["scaling_build_sec_n"] + extra["scaling_build_sec_4n"]
+        total += sum(samples["n"]) + sum(samples["4n"])
 
     # ---- documents section at full parallelism ----
     spark = _new_session(CPUS, "docs")

@@ -454,15 +454,38 @@ class IndexWriter:
         b: float = bm25.DEFAULT_B,
         lineage: dict | None = None,
         keymap: DataFrame | None = None,
+        metrics: dict | None = None,
     ) -> dict:
+        """``metrics``, when given, receives wall seconds per phase
+        (postings/doclen/keymap/dictionary/stats) — the build's
+        profiling hook (mirrors checkpoint.py's per-batch metrics)."""
+
+        def timed(name):
+            t0 = time.time()
+
+            def done():
+                if metrics is not None:
+                    metrics[name] = round(time.time() - t0, 3)
+
+            return done
+
         base = self.index_dir
+        d = timed("postings_sec")
         self.store.write(postings, "postings", seg_id, **POSTINGS_WRITE_OPTS)
+        d()
+        d = timed("doclen_sec")
         self.store.write(doclen, "doclen", seg_id)
+        d()
         if keymap is not None:
             # doc_id -> source key (e.g. url): the ctid-map analog
+            d = timed("keymap_sec")
             self.store.write(keymap, "keymap", seg_id)
+            d()
         spark = postings.sparkSession
+        d = timed("dictionary_sec")
         self.write_dictionary(spark, seg_id)
+        d()
+        d = timed("stats_sec")
         stats = spark.read.schema(
             "doc_id bigint, doc_len bigint, fieldnorm int"
         ).parquet(os.path.join(base, "doclen", f"seg={seg_id}")).agg(
@@ -470,6 +493,7 @@ class IndexWriter:
             F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
             F.coalesce(F.max("doc_id"), F.lit(-1)).alias("max_doc_id"),
         ).collect()[0]
+        d()
 
         manifest = self.read_manifest()
         if not manifest:
@@ -515,6 +539,7 @@ def build_index(
     b: float = bm25.DEFAULT_B,
     lineage: dict | None = None,
     codec: str = "bitpack",
+    metrics: dict | None = None,
 ) -> dict:
     """One-shot bulk build (reference: tp_build, build.c:1262-1600).
 
@@ -552,7 +577,7 @@ def build_index(
             )
         return writer.write_segment(
             postings, doclen, seg_id=0, config=config, n_buckets=n_buckets,
-            k1=k1, b=b, lineage=lineage, keymap=keymap,
+            k1=k1, b=b, lineage=lineage, keymap=keymap, metrics=metrics,
         )
     finally:
         for h in persisted:

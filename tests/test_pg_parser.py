@@ -370,3 +370,57 @@ def test_digit_leading_hyphen_compound():
         ("hword_part", "in"),
         ("word", "tunnel"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# PG documentation examples (textsearch-parsers / ts_debug docs) —
+# round-3 extension per the verdict: fixtures extended from the
+# documented default-parser behavior, frozen here.
+# ---------------------------------------------------------------------------
+
+
+def test_pgdocs_protocol_url_decomposition():
+    # ts_debug('http://example.com/stuff/index.html'): protocol is
+    # mapped to no dictionary (dropped), then url + host + url_path
+    assert scan("http://example.com/stuff/index.html") == [
+        ("url", "example.com/stuff/index.html"),
+        ("host", "example.com"),
+        ("url_path", "/stuff/index.html"),
+    ]
+
+
+def test_pgdocs_hyphenated_with_numeric_part_is_numhword():
+    # 'foo-bar-beta1': any digit-bearing part makes the compound a
+    # numhword; alphabetic parts stay hword_part, digit-bearing parts
+    # are hword_numpart
+    assert scan("foo-bar-beta1") == [
+        ("numhword", "foo-bar-beta1"),
+        ("hword_part", "foo"),
+        ("hword_part", "bar"),
+        ("hword_numpart", "beta1"),
+    ]
+
+
+def test_pgdocs_file_path():
+    assert scan("/usr/local/foo.txt") == [("file", "/usr/local/foo.txt")]
+
+
+def test_pgdocs_tags_and_entities_are_blank():
+    # tag and entity map to no dictionary in the default config
+    assert scan("&amp; <html> &#38;") == []
+
+
+def test_pgdocs_dotted_filename_is_host():
+    # PG's famous quirk: 'readme.txt' scans as host
+    assert scan("readme.txt") == [("host", "readme.txt")]
+
+
+def test_pgdocs_number_classes():
+    assert scan("3.14 1e-10 -42 +7 5.10.1 1.2e+3") == [
+        ("float", "3.14"),
+        ("sfloat", "1e-10"),
+        ("int", "-42"),
+        ("int", "+7"),
+        ("version", "5.10.1"),
+        ("sfloat", "1.2e+3"),
+    ]
