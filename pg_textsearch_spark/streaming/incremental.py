@@ -97,3 +97,61 @@ def insert_batch(
     if compact:
         out = maybe_compact(BM25Index(spark, index_dir), fan_in=fan_in)
     return out
+
+
+def update_docs(
+    index,
+    docs: DataFrame,
+    key_col: str = "doc_key",
+    text_col: str = "text",
+    compact: bool = True,
+) -> dict:
+    """UPDATE analog (reference: test/sql/updates.sql; an UPDATE makes
+    the old heap tuple's index entry dead and inserts the new version
+    into the memtable — src/access/insert.c behavior under UPDATE).
+
+    Here: keys present in the index get their CURRENT doc_id marked
+    dead via ``delete_docs`` (alive-bitset + dead_dfs + quantized
+    token correction), then ALL given rows append as a new delta
+    segment with fresh doc_ids via ``insert_batch`` — so keys not yet
+    indexed are plain inserts (upsert semantics; SQL UPDATE simply
+    never passes such rows). Requires a keymap-built index (key_col
+    at build time): without the ctid-map analog there is no key ->
+    doc_id resolution to kill old versions.
+
+    Query-time visibility matches the reference between vacuums: old
+    versions drop out through alive filtering immediately; ``vacuum``
+    reclaims them physically.
+    """
+    from pg_textsearch_spark.index.deletes import delete_docs
+
+    km = index.keymap()
+    if km is None:
+        raise ValueError(
+            "update_docs requires an index built with key_col "
+            "(no keymap to resolve old versions)"
+        )
+    keys = docs.select(
+        F.col(key_col).cast("string").alias("doc_key")
+    ).distinct()
+    # newest alive version per key: the max doc_id (delta segments
+    # always assign ids above all prior ones)
+    alive_old = (
+        km.join(F.broadcast(keys), "doc_key")
+        .join(index.deleted_ids(), "doc_id", "left_anti")
+        .groupBy("doc_key")
+        .agg(F.max("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    delete_docs(index, alive_old)
+    out = insert_batch(
+        index.spark,
+        index.index_dir,
+        docs.select(F.col(key_col), F.col(text_col)),
+        text_col=text_col,
+        key_col=key_col,
+        compact=compact,
+    )
+    index.manifest = IndexWriter(index.index_dir).read_manifest()
+    index._check_stamp()
+    return out

@@ -151,3 +151,61 @@ def test_mixed_keymap_merge_preserves_partial_keymap(spark, tmp_path):
     res2 = topk_exhaustive(idx, "gamma", k=5)
     resolved2 = idx.resolve_keys(res2).collect()
     assert resolved2 and all(r["doc_key"] is None for r in resolved2)
+
+
+def test_update_docs_replaces_versions(spark, tmp_path):
+    """UPDATE analog (reference test/sql/updates.sql): old version
+    dead immediately, new version scored, resolve_keys follows the
+    newest doc_id; a second update and a vacuum keep the invariant."""
+    from pg_textsearch_spark.index.builder import build_index
+    from pg_textsearch_spark.index.deletes import vacuum
+    from pg_textsearch_spark.operators.topk import BM25Index, topk_exhaustive
+    from pg_textsearch_spark.streaming.incremental import update_docs
+
+    d = str(tmp_path / "upd")
+    rows = [
+        ("u1", "the quick brown fox jumps over the lazy dog"),
+        ("u2", "postgresql is a powerful database system"),
+        ("u3", "full text search with ranking is efficient"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    build_index(spark, docs, d, key_col="url", text_col="text",
+                config="ascii", n_buckets=4)
+    idx = BM25Index(spark, d)
+    assert idx.num_docs == 3
+
+    # update u2's content (updates.sql: simple UPDATE)
+    upd = spark.createDataFrame(
+        [("u2", "postgresql is an advanced relational database")],
+        "url string, text string",
+    )
+    update_docs(idx, upd, key_col="url", text_col="text")
+    assert idx.num_docs == 3  # one dead + one new
+    got = topk_exhaustive(idx, "advanced relational", k=3).collect()
+    assert len(got) == 1
+    resolved = idx.resolve_keys(
+        topk_exhaustive(idx, "advanced relational", k=3)
+    ).collect()
+    assert resolved[0]["doc_key"] == "u2"
+    # the old wording no longer matches anything
+    assert topk_exhaustive(idx, "powerful", k=3).count() == 0
+
+    # upsert: one changed row + one brand-new key in the same batch
+    batch = spark.createDataFrame(
+        [("u1", "the quick red fox sprints"), ("u4", "a brand new page")],
+        "url string, text string",
+    )
+    update_docs(idx, batch, key_col="url", text_col="text")
+    assert idx.num_docs == 4
+    r = idx.resolve_keys(topk_exhaustive(idx, "sprints", k=2)).collect()
+    assert [x["doc_key"] for x in r] == ["u1"]
+    assert topk_exhaustive(idx, "brand", k=2).count() == 1
+
+    # vacuum reclaims the dead versions; results unchanged
+    vacuum(idx)
+    idx2 = BM25Index(spark, d)
+    assert idx2.num_docs == 4
+    assert not idx2.has_deletes()
+    r = idx2.resolve_keys(topk_exhaustive(idx2, "sprints", k=2)).collect()
+    assert [x["doc_key"] for x in r] == ["u1"]
+    assert topk_exhaustive(idx2, "powerful", k=3).count() == 0
