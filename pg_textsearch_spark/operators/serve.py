@@ -4,11 +4,14 @@ The distributed paths (operators/topk.py, operators/bmw.py) pay
 Spark's per-job floor (~0.25 s in local mode: scheduling + pruned
 parquet scan stages) on EVERY interactive query — fine for batch and
 concurrent serving, ~50x the reference's warm 5 ms single-query p50.
-This module is the interactive answer: the SAME on-disk index, the
-SAME float32-pruned / exact-float64-emitted WAND kernels, but executed
-in the serving process with pyarrow doing bucket-dir + row-group
-pruning — no job, no scheduler, no exchange. Results are identical to
-``topk_bmw`` (same kernels, same tie-break; oracle-gated).
+This module is the interactive answer: the SAME on-disk index and the
+same float32-pruned / exact-float64-emitted scoring contract, executed
+in the serving process — pyarrow bucket-dir + row-group pruned reads,
+block metadata flattened to numpy (no per-(term,run)-row Python), a
+block-max safe-skip floor, and a stamp-invalidated decoded-postings
+LRU (the shared_buffers-resident-segment analog) that serves repeated
+query terms in ~1 ms without touching parquet. Results are identical
+to ``topk_bmw`` (same pruning algebra, same tie-break; oracle-gated).
 
 Scale boundary (stated honestly, like SMALL_QUERY_POSTINGS): the
 serving process reads the QUERY TERMS' posting rows only — work is
@@ -37,11 +40,6 @@ from pg_textsearch_spark.functions.bm25 import bm25_term_score32
 from pg_textsearch_spark.functions.fieldnorm import FIELDNORM_DECODE_TABLE
 from pg_textsearch_spark.index.builder import term_bucket
 from pg_textsearch_spark.index.codec import decompress_block
-from pg_textsearch_spark.operators.bmw import (
-    _Cursor,
-    _score_accumulate,
-    _score_single_term,
-)
 from pg_textsearch_spark.functions.tokenizer import tokenize_query
 
 
@@ -115,11 +113,24 @@ class ServingIndex:
     its manifest for stats and its stamp discipline for invalidation.
     """
 
-    def __init__(self, index: "BM25Index"):  # noqa: F821 (doc type)
+    def __init__(
+        self,
+        index: "BM25Index",  # noqa: F821 (doc type)
+        cache_postings: int = 20_000_000,
+    ):
         self.index = index
         self._files: dict[tuple, list[str]] | None = None
         self._df_cache: dict[str, int] = {}
         self._stamp = None
+        #: decoded-postings LRU: term -> flat decoded arrays. The
+        #: serving analog of the reference's shared_buffers-resident
+        #: segment pages — repeated/overlapping query terms skip both
+        #: the parquet read and the block decode. Budgeted by TOTAL
+        #: POSTINGS (~20 B each across ids/tfs/fns), stamp-invalidated
+        #: like every other cache here. 0 disables.
+        self._post_cache_cap = int(cache_postings)
+        self._post_cache: dict[str, dict] = {}
+        self._post_cache_size = 0
 
     def _check_stamp(self) -> None:
         s = self.index._stamp()
@@ -127,6 +138,8 @@ class ServingIndex:
             self._files = None
             self._df_cache = {}
             self._dead = None
+            self._post_cache = {}
+            self._post_cache_size = 0
             self._stamp = s
 
     def _bucket_files(self, table: str, bucket: int) -> list[str]:
@@ -186,10 +199,18 @@ class ServingIndex:
             self._df_cache.update(got)
         return {t: self._df_cache[t] for t in terms if self._df_cache[t] > 0}
 
-    def posting_rows(self, terms: list[str]):
-        """Yield (term, blocks_pylist) for the terms' posting rows —
-        bucket-dir pruned, then parquet row-group pruned on the sorted
-        ``term`` column statistics."""
+    def posting_blocks_flat(self, terms: list[str]) -> dict:
+        """term -> flat numpy block arrays across ALL posting rows and
+        segments: ``{"bmt", "bmn", "dc": int64 arrays, "pay":
+        list[bytes]}`` — one per posting BLOCK, not per (term, run)
+        row. The per-row path costs ~0.1 ms of Python per row and a
+        1M-doc index splits a head term into ~120 run rows; flattening
+        at the Arrow level makes block-metadata scoring one numpy pass.
+        File reads run in a small thread pool (pyarrow releases the
+        GIL), overlapping row-group IO across buckets/segments."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         by_bucket: dict[int, list[str]] = {}
@@ -197,16 +218,96 @@ class ServingIndex:
             by_bucket.setdefault(
                 term_bucket(t, self.index.n_buckets), []
             ).append(t)
-        for b, ts in by_bucket.items():
-            for f in self._bucket_files("postings", b):
-                tab = pq.read_table(
-                    f,
-                    columns=["term", "blocks"],
-                    filters=[("term", "in", ts)],
+        jobs = [
+            (f, ts)
+            for b, ts in by_bucket.items()
+            for f in self._bucket_files("postings", b)
+        ]
+        if not jobs:
+            return {}
+
+        def read(job):
+            f, ts = job
+            return pq.read_table(
+                f, columns=["term", "blocks"], filters=[("term", "in", ts)]
+            )
+
+        out: dict[str, dict] = {}
+        with ThreadPoolExecutor(min(8, len(jobs))) as pool:
+            tabs = list(pool.map(read, jobs))
+        for tab in tabs:
+            if tab.num_rows == 0:
+                continue
+            tab = tab.combine_chunks()
+            la = tab.column("blocks").chunk(0)
+            row_terms = tab.column("term").chunk(0).to_pylist()
+            lens = pc.list_value_length(la).to_numpy().astype(np.int64)
+            sa = la.flatten()
+            bmt = sa.field("block_max_tf").to_numpy().astype(np.int64)
+            bmn = sa.field("block_max_norm").to_numpy().astype(np.int64)
+            dc = sa.field("doc_count").to_numpy().astype(np.int64)
+            pay = sa.field("payload").to_pylist()
+            block_row = np.repeat(np.arange(len(row_terms)), lens)
+            # rows of one term are contiguous within a file (written
+            # sorted by term), but be general: mask per distinct term
+            for t in set(row_terms):
+                rmask = np.asarray([rt == t for rt in row_terms])
+                bmask = rmask[block_row]
+                if not bmask.any():
+                    continue
+                d = out.setdefault(
+                    t, {"bmt": [], "bmn": [], "dc": [], "pay": []}
                 )
-                terms_col = tab["term"].to_pylist()
-                blocks_col = tab["blocks"].to_pylist()
-                yield from zip(terms_col, blocks_col)
+                d["bmt"].append(bmt[bmask])
+                d["bmn"].append(bmn[bmask])
+                d["dc"].append(dc[bmask])
+                idxs = np.flatnonzero(bmask)
+                d["pay"].extend(pay[i] for i in idxs)
+        for t, d in out.items():
+            d["bmt"] = np.concatenate(d["bmt"])
+            d["bmn"] = np.concatenate(d["bmn"])
+            d["dc"] = np.concatenate(d["dc"])
+        return out
+
+    def posting_flat_decoded(self, terms: list[str]) -> dict:
+        """term -> fully-decoded flat postings + block metadata:
+        ``{"bmt","bmn","dc": per-block int64 arrays, "ids","tfs",
+        "fns": per-posting arrays, "off": block start offsets}`` —
+        decode happens once per term and lives in the LRU (see
+        __init__); scoring is then pure numpy with optional block
+        masks."""
+        self._check_stamp()
+        missing = [t for t in terms if t not in self._post_cache]
+        if missing:
+            flat = self.posting_blocks_flat(missing)
+            for t, d in flat.items():
+                parts = [decompress_block(bytes(p)) for p in d["pay"]]
+                ids = np.concatenate([p[0] for p in parts]).astype(np.int64)
+                tfs = np.concatenate([p[1] for p in parts]).astype(np.int64)
+                fns = np.concatenate([p[2] for p in parts]).astype(np.int64)
+                entry = {
+                    "bmt": d["bmt"], "bmn": d["bmn"], "dc": d["dc"],
+                    "ids": ids, "tfs": tfs, "fns": fns,
+                    "off": np.concatenate(([0], np.cumsum(d["dc"]))),
+                }
+                self._post_cache[t] = entry
+                self._post_cache_size += len(ids)
+            for t in missing:
+                self._post_cache.setdefault(t, None)  # negative entry
+            # simple budget: drop whole cache when over cap (terms are
+            # Zipf — the working set re-warms in a handful of queries)
+            if self._post_cache_size > self._post_cache_cap:
+                keep = {t: self._post_cache[t] for t in terms
+                        if self._post_cache.get(t) is not None}
+                self._post_cache = dict(keep)
+                self._post_cache_size = sum(
+                    len(v["ids"]) for v in keep.values()
+                )
+        return {
+            t: self._post_cache[t]
+            for t in terms
+            if self._post_cache.get(t) is not None
+        }
 
     def dead_ids(self) -> frozenset | None:
         self._check_stamp()
@@ -247,29 +348,16 @@ def topk_serve(index, query: str, k: int = 10, _serving: ServingIndex | None = N
         return []
     k1, b, avgdl = index.k1, index.b, index.avgdl
     dead = sv.dead_ids()
-    if len(weights) == 1:
-        cursors = []
-        for term, blocks in sv.posting_rows(list(weights)):
-            idf, qf = weights[term]
-            c = _Cursor(blocks, idf * qf, k1, b, avgdl, idf=idf, qf=qf)
-            if c.alive:
-                cursors.append(c)
-        if not cursors:
-            return []
-        rows = _score_single_term(cursors, int(k), dead)
-    else:
-        items = [
-            (term, weights[term][0], weights[term][1], blocks)
-            for term, blocks in sv.posting_rows(list(weights))
-        ]
-        if not items:
-            return []
-        # local two-phase floor (no deletes pending: dead set makes the
-        # partial-sum bound unsafe, exactly like the distributed path)
-        floor = -1.0 if dead else _local_floor(items, int(k), k1, b, avgdl)
-        rows = _score_accumulate(
-            items, int(k), k1, b, avgdl, dead=dead, floor=floor
-        )
+    flat = sv.posting_flat_decoded(list(weights))
+    if not flat:
+        return []
+    # local two-phase floor (skipped under pending deletes: the dead
+    # set makes the partial-sum bound unsafe, exactly like the
+    # distributed path's bootstrap)
+    floor = -1.0 if dead else _flat_floor(flat, weights, int(k), k1, b, avgdl)
+    rows = _score_flat(
+        flat, weights, int(k), k1, b, avgdl, dead=dead, floor=floor
+    )
     rows.sort(key=lambda r: (-r[2], r[0]))
     return [
         (rank, doc_id, s64)
@@ -277,56 +365,120 @@ def topk_serve(index, query: str, k: int = 10, _serving: ServingIndex | None = N
     ]
 
 
-def _local_floor(items, k: int, k1: float, b: float, avgdl: float) -> float:
-    """In-process analog of bmw._bootstrap_floor: rank posting rows by
-    their max block upper, decode just enough rows to prove k distinct
-    docs, and return the k-th best per-doc partial sum (shaved by the
-    same f32 guard). Costs a handful of block decodes — no Spark."""
-    metas = []
-    for term, idf, qf, blocks in items:
-        if not blocks:
-            continue
-        bmt = np.asarray([blk["block_max_tf"] for blk in blocks], dtype=np.int64)
-        bmn = np.asarray([blk["block_max_norm"] for blk in blocks], dtype=np.int64)
-        dl = FIELDNORM_DECODE_TABLE[bmn]
-        upper = float(
-            (
-                bm25_term_score32(bmt, dl, np.float32(1.0), avgdl, k1, b)
-                * np.float32(idf * qf)
-            ).max()
+def _term_uppers(flat: dict, weights: dict, k1, b, avgdl) -> dict:
+    """Per-term float32 block upper bounds from the flat metadata."""
+    uppers = {}
+    for t, d in flat.items():
+        idf, qf = weights[t]
+        dl = FIELDNORM_DECODE_TABLE[d["bmn"]]
+        uppers[t] = (
+            bm25_term_score32(d["bmt"], dl, np.float32(1.0), avgdl, k1, b)
+            * np.float32(idf * qf)
         )
-        ndocs = int(sum(blk["doc_count"] for blk in blocks))
-        metas.append((upper, ndocs, term, idf, qf, blocks))
-    if not metas:
-        return -1.0
-    metas.sort(key=lambda m: -m[0])
-    n_terms = len({m[2] for m in metas})
-    needed = k * n_terms
-    ids_parts, s32_parts, covered = [], [], 0
-    for upper, ndocs, term, idf, qf, blocks in metas:
-        for blk in blocks:
-            bids, btfs, bfns = decompress_block(bytes(blk["payload"]))
-            dl = FIELDNORM_DECODE_TABLE[bfns.astype(np.int64)]
-            ids_parts.append(bids.astype(np.int64))
-            s32_parts.append(
-                (
-                    bm25_term_score32(btfs, dl, np.float32(1.0), avgdl, k1, b)
-                    * np.float32(idf * qf)
-                ).astype(np.float64)
-            )
-        covered += ndocs
-        if covered >= needed:
-            break
+    return uppers
+
+
+def _score_flat(
+    flat: dict, weights: dict, k: int, k1, b, avgdl,
+    dead=None, floor: float = -1.0,
+) -> list[tuple[int, float, float]]:
+    """Block-max accumulate over flattened block arrays — the serving
+    twin of bmw._score_accumulate (same SAFE skip: drop block i of
+    term t when upper_i + sum of other terms' max scores < floor;
+    reference bmw.c:1526-1571 algebra), with all block metadata
+    handled in single numpy passes instead of per-(term,run)-row
+    Python. Emitted scores are exact f64 totals; tie-break
+    (score DESC, doc_id ASC)."""
+    from pg_textsearch_spark.operators.bmw import _term_score64
+
+    uppers = _term_uppers(flat, weights, k1, b, avgdl)
+    term_max = {t: float(u.max()) for t, u in uppers.items()}
+    sum_max = sum(term_max.values())
+    ids_parts, s64_parts = [], []
+    for t, d in flat.items():
+        idf, qf = weights[t]
+        u = uppers[t]
+        ids_t, tfs_t, fns_t = d["ids"], d["tfs"], d["fns"]
+        if floor > 0:
+            others = np.float32(sum_max - term_max[t])
+            keep = u + others >= np.float32(floor)
+            if not keep.all():
+                # element mask from the per-block keep mask
+                emask = np.repeat(keep, d["dc"])
+                ids_t, tfs_t, fns_t = (
+                    ids_t[emask], tfs_t[emask], fns_t[emask]
+                )
+        if not len(ids_t):
+            continue
+        dl = FIELDNORM_DECODE_TABLE[fns_t]
+        ids_parts.append(ids_t)
+        s64_parts.append(_term_score64(tfs_t, dl, idf, qf, avgdl, k1, b))
+    if not ids_parts:
+        return []
     ids = np.concatenate(ids_parts)
-    s = np.concatenate(s32_parts)
+    s64 = np.concatenate(s64_parts)
+    if dead:
+        alive = ~np.isin(ids, np.fromiter(dead, dtype=np.int64))
+        ids, s64 = ids[alive], s64[alive]
+        if not len(ids):
+            return []
+    uids, inv = np.unique(ids, return_inverse=True)
+    totals = np.bincount(inv, weights=s64)
+    kk = min(int(k), len(uids))
+    order = np.lexsort((uids, -totals))[:kk]
+    return [
+        (int(uids[i]), float(np.float32(totals[i])), float(totals[i]))
+        for i in order
+    ]
+
+
+def _flat_floor(flat: dict, weights: dict, k: int, k1, b, avgdl) -> float:
+    """Bootstrap floor from the flat block arrays: decode the highest-
+    upper blocks until they cover ``k * n_terms`` postings, take the
+    k-th best per-doc f32 partial sum, shave by the f32 guard. Partial
+    sums over any block subset are lower bounds on true totals (scores
+    are non-negative), so the floor is always safe."""
+    uppers = _term_uppers(flat, weights, k1, b, avgdl)
+    terms = list(flat)
+    all_u = np.concatenate([uppers[t] for t in terms])
+    if not len(all_u):
+        return -1.0
+    all_dc = np.concatenate([flat[t]["dc"] for t in terms])
+    tcode = np.concatenate(
+        [np.full(len(uppers[t]), i) for i, t in enumerate(terms)]
+    )
+    starts = np.concatenate(([0], np.cumsum([len(uppers[t]) for t in terms])))
+    order = np.argsort(-all_u)
+    covered = np.cumsum(all_dc[order])
+    needed = k * len(terms)
+    cut = int(np.searchsorted(covered, needed)) + 1
+    pick = order[:cut]
+    ids_parts, s_parts = [], []
+    for gi in pick:
+        ti = int(tcode[gi])
+        t = terms[ti]
+        idf, qf = weights[t]
+        d = flat[t]
+        bi = int(gi - starts[ti])
+        s_, e_ = int(d["off"][bi]), int(d["off"][bi + 1])
+        dl = FIELDNORM_DECODE_TABLE[d["fns"][s_:e_]]
+        ids_parts.append(d["ids"][s_:e_])
+        s_parts.append(
+            (
+                bm25_term_score32(
+                    d["tfs"][s_:e_], dl, np.float32(1.0), avgdl, k1, b
+                )
+                * np.float32(idf * qf)
+            ).astype(np.float64)
+        )
+    ids = np.concatenate(ids_parts)
+    s = np.concatenate(s_parts)
     uids, inv = np.unique(ids, return_inverse=True)
     if len(uids) < k:
         return -1.0
     partials = np.bincount(inv, weights=s)
     kth = float(np.partition(partials, len(partials) - k)[len(partials) - k])
     return float(np.float32(kth) * (1.0 - 4e-6)) if kth > 0 else -1.0
-
-
 #: above this many total postings (sum of query-term dfs) the pruned
 #: volume no longer belongs in one process — dispatch to the cluster
 SERVE_MAX_POSTINGS = 2_000_000

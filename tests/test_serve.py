@@ -89,6 +89,25 @@ def test_serve_under_deletes(idx, spark, tmp_path):
     _same_ranking(got, want, "deletes")
 
 
+def test_decoded_cache_invalidates_on_delete(idx, spark, tmp_path):
+    """The decoded-postings cache must drop on a stamp change: the
+    SAME ServingIndex queried across a delete reflects it."""
+    import shutil
+
+    from pg_textsearch_spark.index.deletes import delete_docs
+
+    d = str(tmp_path / "cacheinv")
+    shutil.copytree(idx.index_dir, d)
+    di = BM25Index(spark, d)
+    sv = ServingIndex(di)
+    before = topk_serve(di, "window", k=5, _serving=sv)
+    assert before
+    victim = before[0][1]
+    delete_docs(di, [victim])
+    after = topk_serve(di, "window", k=5, _serving=sv)
+    assert victim not in {r[1] for r in after}
+
+
 def test_serve_is_interactive_fast(idx):
     sv = ServingIndex(idx)
     topk_serve(idx, "spark query table", k=10, _serving=sv)  # warm caches
