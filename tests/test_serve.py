@@ -169,6 +169,32 @@ print(json.dumps(rows))
     assert rows == topk_serve(idx, "spark query table", k=5, _serving=sv)
 
 
+def test_serve_multi_segment(idx, spark, tmp_path):
+    """Serving reads across delta segments (incremental inserts, no
+    compaction) identically to the distributed exhaustive path."""
+    import shutil
+
+    from pg_textsearch_spark.streaming.incremental import insert_batch
+
+    d = str(tmp_path / "multiseg")
+    shutil.copytree(idx.index_dir, d)
+    batch = spark.createDataFrame(
+        [(10_000_001, "window join stream extra page one"),
+         (10_000_002, "window window window heavy page")],
+        "doc_id long, text string",
+    )
+    insert_batch(spark, d, batch, doc_id_col="doc_id", compact=False)
+    di = BM25Index(spark, d)
+    assert len(di.manifest["segments"]) >= 2
+    sv = ServingIndex(di)
+    for q in ("window", "window join", "stream batch filter"):
+        want = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in topk_exhaustive(di, q, k=10).collect()
+        ]
+        _same_ranking(topk_serve(di, q, k=10, _serving=sv), want, q)
+
+
 def test_topk_auto_dispatch(idx):
     small = topk_auto(idx, "window", k=5)
     rows = small.collect()
