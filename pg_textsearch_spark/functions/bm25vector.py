@@ -46,6 +46,10 @@ MAX_INDEX_NAME_LENGTH = 1024
 #: struct TpVector header bytes after the 4-byte size: magic(4) +
 #: version(1) + reserved(3) + index_name_len(4) + entry_count(4)
 _HEADER = 16
+#: the reference allocates MAXALIGN(sizeof(TpVector)) = MAXALIGN(20)
+#: bytes for the header (vector.c sizing), leaving 4 slack bytes that
+#: physically trail the entry stream in send output
+MAXALIGN_HEADER = -(4 + _HEADER) % MAXALIGN + (4 + _HEADER)
 
 
 class BM25VectorError(ValueError):
@@ -175,6 +179,12 @@ def encode_bm25vector(index_name: str, entries) -> bytes:
         body += _varint_encode(freq)
         body += _varint_encode(len(lex_b))
         body += lex_b
+    # the reference sizes the value as MAXALIGN(sizeof(TpVector)) = 24
+    # (not the packed 20 bytes of header fields), so its send output
+    # carries 4 slack bytes after the entry stream — emit them for
+    # byte-for-byte wire parity (decode walks entries by count and
+    # tolerates the trailing slack either way)
+    body += b"\x00" * (MAXALIGN_HEADER - (4 + _HEADER))
     return struct.pack(">I", len(body) + 4) + bytes(body)
 
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 
 import numpy as np
 
@@ -131,33 +132,45 @@ class ServingIndex:
         self._post_cache_cap = int(cache_postings)
         self._post_cache: dict[str, dict] = {}
         self._post_cache_size = 0
+        #: guards the mutable caches — a ServingIndex is shared across
+        #: serving threads (bench concurrent_serve); cache entries
+        #: themselves are immutable once inserted, so readers only
+        #: need the lock for the dict lookups, never for array access
+        self._lock = threading.Lock()
 
     def _check_stamp(self) -> None:
         s = self.index._stamp()
         if s != self._stamp:
-            self._files = None
-            self._df_cache = {}
-            self._dead = None
-            self._post_cache = {}
-            self._post_cache_size = 0
-            self._stamp = s
+            with self._lock:
+                self._files = None
+                self._df_cache = {}
+                self._dead = None
+                self._post_cache = {}
+                self._post_cache_size = 0
+                self._stamp = s
 
     def _bucket_files(self, table: str, bucket: int) -> list[str]:
         self._check_stamp()
-        if self._files is None:
-            self._files = {}
         key = (table, bucket)
-        if key not in self._files:
-            files: list[str] = []
-            base = self.index.index_dir
-            for seg in self.index.manifest["segments"]:
-                d = os.path.join(
-                    base, table, f"seg={seg['seg_id']}", f"bucket={bucket}"
-                )
-                if os.path.isdir(d):
-                    files.extend(_parquet_files(d))
-            self._files[key] = files
-        return self._files[key]
+        with self._lock:
+            if self._files is None:
+                self._files = {}
+            cached = self._files.get(key)
+        if cached is not None:
+            return cached
+        files: list[str] = []
+        base = self.index.index_dir
+        for seg in self.index.manifest["segments"]:
+            d = os.path.join(
+                base, table, f"seg={seg['seg_id']}", f"bucket={bucket}"
+            )
+            if os.path.isdir(d):
+                files.extend(_parquet_files(d))
+        with self._lock:
+            if self._files is None:
+                self._files = {}
+            self._files.setdefault(key, files)
+        return files
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Unified df per term — dictionary parquet read in-process."""
@@ -186,9 +199,9 @@ class ServingIndex:
                         got[term] += int(df)
             # pending-delete correction from the dead_dfs table
             dead_path = os.path.join(self.index.index_dir, "dead_dfs")
-            if self.index.has_deletes() and os.path.isdir(dead_path):
+            if self.index.has_deletes():
                 live = [t for t, v in got.items() if v > 0]
-                if live:
+                if live and os.path.isdir(dead_path):
                     tab = pq.read_table(
                         dead_path, filters=[("term", "in", live)]
                     )
@@ -196,8 +209,26 @@ class ServingIndex:
                         tab["term"].to_pylist(), tab["dead_df"].to_pylist()
                     ):
                         got[term] -= int(dd)
-            self._df_cache.update(got)
-        return {t: self._df_cache[t] for t in terms if self._df_cache[t] > 0}
+                elif live:
+                    # legacy fallback (deletes that predate dead_dfs):
+                    # decode the query terms' postings and count dead
+                    # occurrences — same rule BM25Index._term_dfs_uncached
+                    # applies, so serve/bmw ranking parity holds on old
+                    # indexes too
+                    dead = self.dead_ids() or frozenset()
+                    dead_arr = np.fromiter(dead, dtype=np.int64)
+                    flat = self.posting_flat_decoded(live)
+                    for term, d in flat.items():
+                        got[term] -= int(
+                            np.isin(d["ids"], dead_arr).sum()
+                        )
+            with self._lock:
+                self._df_cache.update(got)
+        got_all = {}
+        with self._lock:
+            for t in terms:
+                got_all[t] = self._df_cache.get(t, 0)
+        return {t: v for t, v in got_all.items() if v > 0}
 
     def posting_blocks_flat(self, terms: list[str]) -> dict:
         """term -> flat numpy block arrays across ALL posting rows and
@@ -250,8 +281,11 @@ class ServingIndex:
             block_row = np.repeat(np.arange(len(row_terms)), lens)
             # rows of one term are contiguous within a file (written
             # sorted by term), but be general: mask per distinct term
+            # (vectorized — a Python comparison per row costs ~0.1 ms
+            # per Arrow table once head terms span 100s of rows)
+            row_terms_arr = np.asarray(row_terms, dtype=object)
             for t in set(row_terms):
-                rmask = np.asarray([rt == t for rt in row_terms])
+                rmask = row_terms_arr == t
                 bmask = rmask[block_row]
                 if not bmask.any():
                     continue
@@ -277,51 +311,65 @@ class ServingIndex:
         __init__); scoring is then pure numpy with optional block
         masks."""
         self._check_stamp()
-        missing = [t for t in terms if t not in self._post_cache]
+        _MISS = object()
+        with self._lock:
+            got = {t: self._post_cache.get(t, _MISS) for t in terms}
+        missing = [t for t, v in got.items() if v is _MISS]
         if missing:
+            # decode OUTSIDE the lock (parquet IO + block decode are
+            # the expensive part; concurrent misses on the same term
+            # duplicate work but stay correct — entries are immutable)
             flat = self.posting_blocks_flat(missing)
+            fresh: dict[str, dict | None] = {}
             for t, d in flat.items():
                 parts = [decompress_block(bytes(p)) for p in d["pay"]]
                 ids = np.concatenate([p[0] for p in parts]).astype(np.int64)
                 tfs = np.concatenate([p[1] for p in parts]).astype(np.int64)
                 fns = np.concatenate([p[2] for p in parts]).astype(np.int64)
-                entry = {
+                fresh[t] = {
                     "bmt": d["bmt"], "bmn": d["bmn"], "dc": d["dc"],
                     "ids": ids, "tfs": tfs, "fns": fns,
                     "off": np.concatenate(([0], np.cumsum(d["dc"]))),
                 }
-                self._post_cache[t] = entry
-                self._post_cache_size += len(ids)
             for t in missing:
-                self._post_cache.setdefault(t, None)  # negative entry
-            # simple budget: drop whole cache when over cap (terms are
-            # Zipf — the working set re-warms in a handful of queries)
-            if self._post_cache_size > self._post_cache_cap:
-                keep = {t: self._post_cache[t] for t in terms
-                        if self._post_cache.get(t) is not None}
-                self._post_cache = dict(keep)
-                self._post_cache_size = sum(
-                    len(v["ids"]) for v in keep.values()
-                )
+                fresh.setdefault(t, None)  # negative entry
+            with self._lock:
+                for t, entry in fresh.items():
+                    if t not in self._post_cache:
+                        self._post_cache[t] = entry
+                        if entry is not None:
+                            self._post_cache_size += len(entry["ids"])
+                # simple budget: drop entries not used by this query
+                # when over cap (terms are Zipf — the working set
+                # re-warms in a handful of queries)
+                if self._post_cache_size > self._post_cache_cap:
+                    keep = {t: self._post_cache[t] for t in terms
+                            if self._post_cache.get(t) is not None}
+                    self._post_cache = dict(keep)
+                    self._post_cache_size = sum(
+                        len(v["ids"]) for v in keep.values()
+                    )
+            got.update(fresh)
         return {
-            t: self._post_cache[t]
-            for t in terms
-            if self._post_cache.get(t) is not None
+            t: v for t, v in got.items()
+            if v is not None and v is not _MISS
         }
 
     def dead_ids(self) -> frozenset | None:
         self._check_stamp()
-        if getattr(self, "_dead", None) is None:
+        dead = getattr(self, "_dead", None)
+        if dead is None:
             if not self.index.has_deletes():
-                self._dead = frozenset()
+                dead = frozenset()
             else:
                 import pyarrow.parquet as pq
 
                 path = os.path.join(self.index.index_dir, "deletes")
-                self._dead = frozenset(
+                dead = frozenset(
                     pq.read_table(path, columns=["doc_id"])["doc_id"].to_pylist()
                 )
-        return self._dead or None
+            self._dead = dead
+        return dead or None
 
 
 def topk_serve(index, query: str, k: int = 10, _serving: ServingIndex | None = None):

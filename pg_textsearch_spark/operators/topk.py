@@ -190,21 +190,34 @@ class BM25Index:
         )
 
     def resolve_keys(self, df: DataFrame) -> DataFrame:
-        """Join doc_key onto any DataFrame carrying doc_id (e.g. a
+        """Join doc_key onto a small DataFrame carrying doc_id (a
         top-k result) — the reference's CTID resolution step
-        (tp_topk_resolve_ctids, bmw.c:260-295). Shaped as a RIGHT
-        outer join from the keymap with the small (k-row) side
-        broadcast: Spark can only build the hash table on the
-        broadcast side, and for LEFT joins that would have to be the
-        corpus-scale keymap — right-outer keeps the keymap streaming
-        through a broadcast probe of k rows instead of a full shuffle."""
+        (tp_topk_resolve_ctids, bmw.c:260-295), which also runs at
+        query completion over exactly k rows.
+
+        Materializes ``df`` (k rows) driver-side ONCE, prunes the
+        corpus-scale keymap down to those ids (``doc_id IN`` pushes to
+        the parquet row-group scan), and broadcast-left-joins the
+        pruned keymap back on. A broadcast hint on the preserved side
+        of an outer join is ineligible (Spark builds the hash table on
+        the other side), so the only plans that avoid shuffling the
+        keymap are (a) this id-pruned scan or (b) broadcasting the
+        whole keymap — (a) is the one that survives corpus scale.
+        Rows whose id has no keymap entry (segments built without
+        key_col in a mixed index) keep a NULL doc_key, as before."""
         km = self.keymap()
         if km is None:
             raise ValueError(
                 "index was not built with key_col; no keymap to resolve"
             )
+        rows = df.collect()
+        local = self.spark.createDataFrame(rows, df.schema)
+        ids = [r["doc_id"] for r in rows]
         out_cols = df.columns + [c for c in km.columns if c != "doc_id"]
-        return km.join(F.broadcast(df), "doc_id", "right").select(*out_cols)
+        pruned_km = km.filter(F.col("doc_id").isin(ids))
+        return local.join(F.broadcast(pruned_km), "doc_id", "left").select(
+            *out_cols
+        )
 
     def dictionary(self) -> DataFrame:
         if self._dictionary_df is not None:

@@ -92,8 +92,10 @@ def test_binary_layout_header():
     assert int.from_bytes(buf[16:20], "little") == 1
     # name NUL-terminated and MAXALIGN(8)-padded: entries start at 28
     assert buf[20:24] == b"idx\x00"
-    # entry: varint freq=2, varint len=5, b"hello"
-    assert buf[28:] == bytes([2, 5]) + b"hello"
+    # entry: varint freq=2, varint len=5, b"hello"; then the 4 slack
+    # bytes of MAXALIGN(sizeof(TpVector)) = 24 vs the packed 20-byte
+    # header (tpvector_send sizing) trail the entry stream
+    assert buf[28:] == bytes([2, 5]) + b"hello" + b"\x00" * 4
 
 
 def test_binary_roundtrip_and_eq():
@@ -119,7 +121,8 @@ def test_binary_roundtrip_and_eq():
         (lambda b: b[:8] + bytes([9]) + b[9:], "version"),
         (lambda b: b[:-1], "does not match buffer length"),
         (
-            lambda b: (len(b) - 1).to_bytes(4, "big") + b[4:-1],
+            # cut past the 4 trailing slack bytes into the entry stream
+            lambda b: (len(b) - 8).to_bytes(4, "big") + b[4:-8],
             "truncated|beyond buffer",
         ),
     ],
