@@ -417,6 +417,283 @@ def _score_accumulate(
 _KEY_SEP = "\x1f"
 
 
+def _score_batch_run(
+    pdf: pd.DataFrame,
+    qw_items: list,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dead=None,
+) -> pd.DataFrame:
+    """Multi-QUERY block-max accumulate over one run's posting rows —
+    the batch twin of ``_score_accumulate``.
+
+    ``qw_items``: [(query_id, [(term, idf, qf), ...], floor), ...].
+    Queries share terms (the whole point of batching), so each block
+    is decoded AT MOST ONCE per run regardless of how many queries
+    reference its term — the union of the per-query keep masks drives
+    decode. Per query the same SAFE skip applies as in
+    ``_score_accumulate`` (block i of term t is skippable for query q
+    when ``upper_i * w_qt + sum of q's other terms' max scores <
+    floor_q``; reference bmw.c:1526-1571 algebra), per-posting scores
+    are the exact float64 ``_term_score64`` (identical op order to the
+    exhaustive path), and ties break (score DESC, doc_id ASC).
+    """
+    # 1) per-term flat block metadata across this run's rows (one row
+    #    per segment at most; concatenate)
+    terms: dict = {}
+    for row in pdf.itertuples():
+        if row.blocks is None or len(row.blocks) == 0:
+            continue
+        d = terms.setdefault(
+            row.term, {"bmt": [], "bmn": [], "dc": [], "pay": []}
+        )
+        for blk in row.blocks:
+            d["bmt"].append(blk["block_max_tf"])
+            d["bmn"].append(blk["block_max_norm"])
+            d["dc"].append(blk["doc_count"])
+            d["pay"].append(blk["payload"])
+    if not terms:
+        return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+    base_upper: dict = {}
+    for t, d in terms.items():
+        bmn = np.asarray(d["bmn"], dtype=np.int64)
+        dl = FIELDNORM_DECODE_TABLE[bmn]
+        base_upper[t] = bm25_term_score32(
+            np.asarray(d["bmt"], dtype=np.int64), dl, np.float32(1.0),
+            avgdl, k1, b,
+        )
+        d["dc"] = np.asarray(d["dc"], dtype=np.int64)
+
+    # 2) per-query keep masks (f32, weight-scaled) and their union
+    keep_union = {t: np.zeros(len(u), dtype=bool) for t, u in base_upper.items()}
+    q_plans = []
+    for qid, wlist, floor in qw_items:
+        present = [(t, idf, qf) for (t, idf, qf) in wlist if t in terms]
+        if not present:
+            continue
+        masks: dict = {}
+        if floor > 0:
+            uppers_q = {
+                t: base_upper[t] * np.float32(idf * qf)
+                for t, idf, qf in present
+            }
+            tmax = {t: float(u.max()) for t, u in uppers_q.items()}
+            smax = sum(tmax.values())
+            for t, idf, qf in present:
+                others = np.float32(smax - tmax[t])
+                m = uppers_q[t] + others >= np.float32(floor)
+                masks[t] = m
+                keep_union[t] |= m
+        else:
+            for t, _idf, _qf in present:
+                masks[t] = None
+                keep_union[t][:] = True
+        q_plans.append((qid, present, masks))
+    if not q_plans:
+        return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+
+    # 3) decode the union of kept blocks, once per term
+    dead_arr = (
+        np.fromiter(dead, dtype=np.int64) if dead else None
+    )
+    dec: dict = {}
+    for t, d in terms.items():
+        ku = keep_union[t]
+        if not ku.any():
+            continue
+        idxs = np.flatnonzero(ku)
+        parts = [decompress_block(bytes(d["pay"][i])) for i in idxs]
+        ids = np.concatenate([p[0] for p in parts]).astype(np.int64)
+        tfs = np.concatenate([p[1] for p in parts])
+        fns = np.concatenate([p[2] for p in parts]).astype(np.int64)
+        dec[t] = {
+            "ids": ids,
+            "tfs": tfs,
+            "dl": FIELDNORM_DECODE_TABLE[fns],
+            "dc": d["dc"][idxs],
+            "kept_idx": idxs,
+        }
+
+    # 4) per-query accumulate over the shared decoded arrays
+    out_q: list = []
+    out_d: list = []
+    out_s: list = []
+    for qid, present, masks in q_plans:
+        ids_parts, s_parts = [], []
+        for t, idf, qf in present:
+            e = dec.get(t)
+            if e is None:
+                continue
+            m = masks[t]
+            if m is None:
+                sel = slice(None)
+            else:
+                mk = m[e["kept_idx"]]
+                if not mk.any():
+                    continue
+                sel = slice(None) if mk.all() else np.repeat(mk, e["dc"])
+            sel_ids = e["ids"][sel]
+            sel_tfs = e["tfs"][sel]
+            sel_dl = e["dl"][sel]
+            ids_parts.append(sel_ids)
+            s_parts.append(
+                _term_score64(sel_tfs, sel_dl, idf, qf, avgdl, k1, b)
+            )
+        if not ids_parts:
+            continue
+        ids = np.concatenate(ids_parts)
+        s64 = np.concatenate(s_parts)
+        if dead_arr is not None and len(dead_arr):
+            alive = ~np.isin(ids, dead_arr)
+            ids, s64 = ids[alive], s64[alive]
+            if not len(ids):
+                continue
+        uids, inv = np.unique(ids, return_inverse=True)
+        totals = np.bincount(inv, weights=s64)
+        kk = min(int(k), len(uids))
+        order = np.lexsort((uids, -totals))[:kk]
+        out_q.append(np.repeat(qid, kk))
+        out_d.append(uids[order])
+        out_s.append(totals[order])
+    if not out_q:
+        return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d).astype(np.int64),
+            "score": np.concatenate(out_s).astype(np.float64),
+        }
+    )
+
+
+def _batch_floors(
+    pruned, qweights: dict, k: int, k1, b, avgdl, stats: dict | None = None
+) -> dict:
+    """Per-query bootstrap floors for a batch, in TWO jobs total (the
+    batched analog of ``_bootstrap_floor``, whose two driver
+    round-trips amortize over every query in the batch).
+
+    Phase 1 collects, per term, only the top posting rows by the
+    weight-free block upper bound until they cover ``k * max_terms``
+    docs (an executor-side windowed cumulative sum — the collect is
+    O(|terms| * k/128) scalar rows, never one row per (term, run)).
+    Phase 2 fetches + decodes the union of every query's chosen rows.
+    Per query the k-th best per-doc f32 partial sum (over its own
+    terms' chosen rows, weight-scaled) is a lower bound on the true
+    k-th best total, shaved by the f32 guard — identical safety
+    algebra to the single-query bootstrap.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F2
+
+    need = {qid: k * len(w) for qid, w in qweights.items()}
+    need_max = max(need.values())
+    table = F2.array(*[F2.lit(float(v)) for v in FIELDNORM_DECODE_TABLE])
+
+    def _blk_upper(blk):
+        tf = blk["block_max_tf"].cast("double")
+        dl = F2.element_at(table, blk["block_max_norm"] + 1)
+        return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    meta = pruned.select(
+        "term",
+        "run",
+        F2.array_max(F2.transform("blocks", _blk_upper)).alias("base_upper"),
+        F2.aggregate(
+            F2.transform("blocks", lambda blk: blk["doc_count"]),
+            F2.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("ndocs"),
+    )
+    wspec = (
+        W.partitionBy("term")
+        .orderBy(F2.desc("base_upper"), "run")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    meta_rows = (
+        meta.withColumn(
+            "prev", F2.coalesce(F2.sum("ndocs").over(wspec), F2.lit(0))
+        )
+        .filter(F2.col("prev") < need_max)
+        .drop("prev")
+        .collect()
+    )
+    if stats is not None:
+        stats["phase1_rows"] = len(meta_rows)
+    floors = {qid: -1.0 for qid in qweights}
+    if not meta_rows:
+        return floors
+    by_term: dict = {}
+    for r in meta_rows:
+        by_term.setdefault(r["term"], []).append(
+            (float(r["base_upper"]), int(r["run"]), int(r["ndocs"]))
+        )
+    for rows in by_term.values():
+        rows.sort(key=lambda x: (-x[0], x[1]))
+
+    # per-query prefix selection over its terms' rows merged by
+    # weighted upper, descending
+    chosen_per_q: dict = {}
+    all_keys: set = set()
+    for qid, w in qweights.items():
+        cand = []
+        for t, (idf, qf) in w.items():
+            wt = float(idf) * int(qf)
+            for bu, run, ndocs in by_term.get(t, []):
+                cand.append((wt * bu, t, run, ndocs))
+        cand.sort(key=lambda x: -x[0])
+        covered = 0
+        keys = []
+        for _u, t, run, ndocs in cand:
+            keys.append((t, run))
+            covered += ndocs
+            if covered >= need[qid]:
+                break
+        chosen_per_q[qid] = keys
+        all_keys.update(keys)
+    if stats is not None:
+        stats["phase2_rows"] = len(all_keys)
+
+    key = F.concat_ws(_KEY_SEP, F.col("term"), F.col("run").cast("string"))
+    fetch = [f"{t}{_KEY_SEP}{run}" for t, run in all_keys]
+    rows = pruned.filter(key.isin(fetch)).select("term", "run", "blocks").collect()
+    decoded: dict = {}
+    for row in rows:
+        ids, tfs, fns = decode_blocks_list(row["blocks"])
+        s32 = bm25_term_score32(
+            tfs, FIELDNORM_DECODE_TABLE[fns.astype(np.int64)],
+            np.float32(1.0), avgdl, k1, b,
+        )
+        decoded[(row["term"], int(row["run"]))] = (ids.astype(np.int64), s32)
+    for qid, w in qweights.items():
+        ids_parts, s_parts = [], []
+        for t, run in chosen_per_q[qid]:
+            got = decoded.get((t, run))
+            if got is None:
+                continue
+            idf, qf = w[t]
+            ids_parts.append(got[0])
+            s_parts.append(
+                (got[1] * np.float32(float(idf) * int(qf))).astype(np.float64)
+            )
+        if not ids_parts:
+            continue
+        ids = np.concatenate(ids_parts)
+        s = np.concatenate(s_parts)
+        uids, inv = np.unique(ids, return_inverse=True)
+        if len(uids) < k:
+            continue  # fewer than k distinct docs proven — no safe floor
+        partials = np.bincount(inv, weights=s)
+        kth = float(
+            np.partition(partials, len(partials) - k)[len(partials) - k]
+        )
+        if kth > 0:
+            floors[qid] = float(np.float32(kth) * (1.0 - 4e-6))
+    return floors
+
+
 def _bootstrap_floor(pruned, wmap, k, k1, b, avgdl, stats=None) -> float:
     """Two-phase global score threshold (distributed analog of the
     reference's single shared top-k heap, bmw.c:31-357).
@@ -654,12 +931,17 @@ def topk_bmw(
         else small_query_postings
     )
     total_postings = sum(dfs.get(t, 0) for t in wmap)
-    if single:
-        # single-term queries need no cross-term alignment: every
+    if single and total_postings > small_cut:
+        # large single-term queries need no cross-term alignment: every
         # (term, run) row is an independent posting list, so score each
         # scan partition in place (mapInPandas, ZERO shuffles — one
         # stage from parquet to TakeOrdered) with a partition-local
-        # heap; the global limit merges partition top-ks.
+        # heap; the global limit merges partition top-ks. Small
+        # single-term queries fall through to the one-task plan below —
+        # a single _score_single_term call over ALL rows shares one
+        # heap and one block-sorted early-stop across segments/runs
+        # (the per-partition plan re-warms a threshold per task and
+        # measured slower at bench head-term dfs; BENCH_r03 q_1tok).
         def score_partition(batches):
             for pdf in batches:
                 out = score_run(pdf)
@@ -670,9 +952,10 @@ def topk_bmw(
             score_partition, "doc_id bigint, score double"
         )
     elif total_postings <= small_cut:
-        # small multi-term query: one task, one shared heap, no
-        # exchange (see SMALL_QUERY_POSTINGS) — all Arrow batches of
-        # the single coalesced partition must reach one WAND call
+        # small query (single- or multi-term): one task, one shared
+        # heap, no exchange (see SMALL_QUERY_POSTINGS) — all Arrow
+        # batches of the single coalesced partition reach one kernel
+        # call (_score_single_term or WAND/accumulate)
         def score_all(batches):
             pdfs = list(batches)
             if pdfs:

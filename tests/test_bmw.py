@@ -280,3 +280,71 @@ def test_accumulate_and_wand_kernels_agree(spark, tmp_path):
         boot = [(r["rank"], r["doc_id"], r["score"])
                 for r in topk_bmw(idx, q, k=10, bootstrap=True).collect()]
         same(boot, exh, q)
+
+
+# ---------------- batched multi-query kernel ----------------
+
+def _assert_batch_parity(idx, queries, k=10, **kw):
+    """topk_batch must equal per-query topk_exhaustive: same docs and
+    ranks, scores equal to last-ulp (summation order differs)."""
+    import math
+
+    from pg_textsearch_spark.operators.topk import topk_batch
+
+    got = topk_batch(idx, queries, k=k, **kw).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, qtext in queries.items():
+        exp = topk_exhaustive(idx, qtext, k).collect()
+        rows = sorted(by_q.get(str(qid), []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in rows] == [
+            e["doc_id"] for e in exp
+        ], (qid, qtext)
+        for r, e in zip(rows, exp):
+            assert math.isclose(
+                r["score"], e["score"], rel_tol=1e-12
+            ), (qid, r, e)
+
+
+def test_batch_pruned_parity(zipf_index):
+    # mixed head/tail query set sharing terms across queries — the
+    # shared-decode + per-query-floor kernel must reproduce per-query
+    # exhaustive results exactly, with and without floors
+    queries = {
+        "q0": "w0", "q1": "w0 w3", "q2": "w1 w7 w20",
+        "q3": "w0 w0 w5", "q4": "w2 w40 w79", "q5": "w0 w1 w2 w3",
+        "q6": "w3 w7", "q7": "w79", "q8": "w5 w20 w40 w7",
+    }
+    stats: dict = {}
+    _assert_batch_parity(zipf_index, queries, k=10, _floor_stats=stats)
+    # the bootstrap actually ran and its collects stayed O(k*|terms|)
+    assert 0 < stats["phase1_rows"]
+    assert 0 < stats["phase2_rows"] <= stats["phase1_rows"]
+    _assert_batch_parity(zipf_index, queries, k=10, prune=False)
+    _assert_batch_parity(zipf_index, queries, k=3)
+
+
+def test_batch_multirun_and_deletes(spark, tmp_path_factory):
+    # docs spread across runs (8192-doc ranges) so the groupBy(run)
+    # shard path really merges per-run candidate sets; then deletes
+    # (floors auto-disabled) must still match exhaustive
+    import random
+
+    from pg_textsearch_spark.index.deletes import delete_docs
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(30)]
+    rows = [
+        (i * 1537, " ".join(rng.choices(vocab, k=rng.randrange(3, 30))))
+        for i in range(300)
+    ]
+    path = str(tmp_path_factory.mktemp("batchrun") / "idx")
+    idx = _build(spark, rows, path, n_buckets=4)
+    queries = {
+        "a": "v0 v1", "b": "v2", "c": "v0 v3 v5", "d": "v7 v7 v9",
+    }
+    _assert_batch_parity(idx, queries, k=10)
+    delete_docs(idx, [r[0] for r in rows[::7]])
+    idx = BM25Index(spark, path)
+    _assert_batch_parity(idx, queries, k=10)
