@@ -291,8 +291,9 @@ def main() -> None:
     # Spark's answer to the reference's 15.9 q/s single-client number
     from pg_textsearch_spark.operators.topk import topk_batch
 
-    vocab = [f"t{r}" for r in (40, 150, 420, 900, 1800, 3500, 7000,
-                               12000, 20000, 33000, 5, 260)]
+    vocab_ranks = (40, 150, 420, 900, 1800, 3500, 7000,
+                   12000, 20000, 33000, 5, 260)
+    vocab = [f"t{r}" for r in vocab_ranks]
     batch = {
         f"q{i}": " ".join(vocab[(i + j) % len(vocab)] for j in range(1 + i % 4))
         for i in range(N_BATCH_QUERIES)
@@ -302,6 +303,14 @@ def main() -> None:
     batch_sec = time.time() - t0
     results["batch_queries"] = round(batch_sec, 3)
     extra["batch_queries_per_sec"] = round(N_BATCH_QUERIES / batch_sec, 1)
+    # record the mix so future rounds compare like for like: Zipf
+    # ranks of the query vocabulary and their dfs on this index
+    extra["batch_mix"] = {
+        "n_queries": N_BATCH_QUERIES,
+        "tokens_per_query": "1-4 cyclic",
+        "vocab_zipf_ranks": list(vocab_ranks),
+        "vocab_dfs": idx.term_dfs(vocab),
+    }
     total += batch_sec
 
     # concurrent clients: independent threads issuing single top-k
@@ -415,6 +424,57 @@ def main() -> None:
     }
     total += pconc_sec
 
+    # sticky-sharded serving tier: the same pool-query mix routed by
+    # head term (serve.route_query) so each worker's decoded-postings
+    # cache holds a disjoint slice of the head-term working set. One
+    # warm pass per worker (its own routed batch — real stickiness,
+    # unlike Pool.map's arbitrary task placement), then a
+    # barrier-synchronized timed pass recording per-query latency.
+    from pg_textsearch_spark.operators.serve import route_query
+
+    n_workers = min(N_CONCURRENT_CLIENTS, CPUS)
+    all_pool_q = [q for b in pool_batches for q in b]
+    routed: list[list[str]] = [[] for _ in range(n_workers)]
+    for q in all_pool_q:
+        routed[route_query(idx, q, n_workers, _serving=sv)].append(q)
+    extra_queues = ctx.Queue()
+    barrier = ctx.Barrier(n_workers + 1)
+    procs = [
+        ctx.Process(
+            target=_sticky_worker,
+            args=(idx_dir, routed[w], barrier, extra_queues, w),
+        )
+        for w in range(n_workers)
+    ]
+    for p in procs:
+        p.start()
+    barrier.wait()  # all workers warmed their own shard
+    t0 = time.time()
+    lats: list[float] = []
+    walls: list[float] = []
+    colds: list[float] = []
+    for _ in range(n_workers):
+        _wid, wall, cold, wlats = extra_queues.get()
+        walls.append(wall)
+        colds.append(cold)
+        lats.extend(wlats)
+    for p in procs:
+        p.join()
+    sticky_wall = max(walls) if walls else time.time() - t0
+    lats.sort()
+    extra["concurrent_serve_sticky"] = {
+        "workers": n_workers,
+        "queries": len(lats),
+        "wall_sec": round(sticky_wall, 3),
+        "q_per_sec": round(len(lats) / sticky_wall, 1) if sticky_wall else 0,
+        "p50_ms": round(1000 * lats[len(lats) // 2], 2) if lats else None,
+        "p95_ms": round(1000 * lats[int(len(lats) * 0.95)], 2) if lats else None,
+        "cold_pass_wall_sec": round(max(colds), 3) if colds else None,
+        "max_shard": max(len(r) for r in routed),
+        "index_docs": N_LATENCY_DOCS,
+    }
+    total += sticky_wall
+
     spark.stop()
     shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -445,6 +505,35 @@ def _pool_init(index_dir: str) -> None:
 
     li = LocalIndex(index_dir)
     _POOL_SV = (li, ServingIndex(li))
+
+
+def _sticky_worker(idx_dir: str, queries: list[str], barrier, out_q,
+                   wid: int) -> None:
+    """Sticky-shard worker: Spark-free handle, warm pass over its OWN
+    routed shard, then a barrier-synchronized timed pass with
+    per-query latencies (the warm-path p50 the serving tier quotes)."""
+    import time as _t
+
+    from pg_textsearch_spark.operators.serve import (
+        LocalIndex,
+        ServingIndex,
+        topk_serve,
+    )
+
+    li = LocalIndex(idx_dir)
+    sv = ServingIndex(li)
+    c0 = _t.time()
+    for q in queries:
+        topk_serve(li, q, 10, _serving=sv)
+    cold = _t.time() - c0
+    barrier.wait()
+    t0 = _t.time()
+    lats = []
+    for q in queries:
+        s = _t.time()
+        topk_serve(li, q, 10, _serving=sv)
+        lats.append(_t.time() - s)
+    out_q.put((wid, _t.time() - t0, cold, lats))
 
 
 def _pool_serve(queries: list[str]) -> int:

@@ -532,6 +532,30 @@ def _flat_floor(flat: dict, weights: dict, k: int, k1, b, avgdl) -> float:
 SERVE_MAX_POSTINGS = 2_000_000
 
 
+def route_query(index, query: str, n_workers: int,
+                _serving: ServingIndex | None = None) -> int:
+    """Sticky shard routing for a serving pool: queries whose most
+    expensive (highest-df) term matches land on the same worker, so
+    each worker's decoded-postings LRU holds a disjoint slice of the
+    head-term working set instead of every worker re-decoding every
+    head term (the contention mode BASELINE.md measured at ~100 ms per
+    query under 16 unsticky workers). Routing hashes the head TERM
+    (``term_bucket`` — the same deterministic hash every process
+    agrees on), so a router needs only a dictionary df lookup (cached
+    in its ServingIndex), never postings. Tail terms ride along with
+    whatever head term their query carries; a query with no indexed
+    term goes to worker 0 (it returns empty immediately anyway)."""
+    sv = _serving or ServingIndex(index)
+    qtf = tokenize_query(query, index.config)
+    if not qtf:
+        return 0
+    dfs = sv.term_dfs(list(qtf))
+    if not dfs:
+        return 0
+    head = max(dfs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    return term_bucket(head, n_workers)
+
+
 def topk_auto(index, query: str, k: int = 10,
               max_postings: int = SERVE_MAX_POSTINGS,
               _serving: ServingIndex | None = None):
