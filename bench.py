@@ -46,8 +46,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "2000000"))
 #: timed builds per scale-child JVM (after its JIT warmup build)
 SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1"))
-#: alternating (N, 4N) child pairs — see the epoch-noise note below
-SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "2"))
+#: alternating (N, 4N) child pairs — see the epoch-noise note below.
+#: 3 pairs (round-4): the 0.8-bar verdict on a 2-sample median was
+#: within the box's epoch noise; 3 samples/side tightens the median.
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 N_BATCH_QUERIES = int(os.environ.get("SPARK_GRAFT_BATCH_QUERIES", "64"))
 

@@ -41,7 +41,11 @@ Emission rules (mirroring ts_debug output shape):
   ``42`` -> uint; ``-1234`` / ``+7`` -> int (PG's signed-integer
   class — the sign binds only when freestanding: ``x-5`` is still a
   numhword compound); ``-3.14`` -> float, ``-2e-3`` -> sfloat.
-- ``<div class="x">`` and ``&amp;`` -> skipped (tag/entity).
+- ``<div class="x">`` and ``&amp;`` -> skipped (tag/entity); quoted
+  attribute values may contain ``>`` (``<img alt="x > y">`` is one
+  tag) and ``<!-- ... -->`` comments are skipped whole; a bare
+  protocol head (``http://`` with no host) is a 'protocol' token,
+  also mapped to no dictionary.
 - underscores separate words (PG behavior: foo_bar -> foo, bar).
 - internal apostrophes stay in the word (PG behavior:
   ``to_tsvector('english', 'john''s')`` = 'john' — the parser emits
@@ -64,17 +68,29 @@ import re
 #: classes map to the pass-through 'simple' dictionary
 PG_STEM_CLASSES = frozenset({"word", "hword", "hword_part"})
 
+#: the tag class, shared verbatim with the fast path's TAG_SUB_RE:
+#: an HTML comment (PG's wparser_def.c has a dedicated in-comment
+#: state — the body may contain '>' freely), or a tag whose quoted
+#: attribute values may contain '>' (the in-tag state machine
+#: respects quotes: <img alt="x > y"> is ONE tag token)
+TAG_PATTERN = (
+    r"<!--(?:[^-]|-(?!->)){0,2047}-->"
+    r"""|<[/!]?[A-Za-z](?:[^<>"']|"[^"]*"|'[^']*'){0,1023}>"""
+)
+
 #: one alternation per token class, tried in priority order — the
 #: scanner is leftmost-first, so longer/structured classes come first
 _TOKEN_RE = re.compile(
-    r"""
-  (?P<tag><[/!]?[A-Za-z][^<>]{0,1023}>)
+    "(?P<tag>" + TAG_PATTERN + ")\n" + r"""
 | (?P<entity>&\#?[A-Za-z0-9]{1,32};)
 | (?P<url>
      [A-Za-z][A-Za-z0-9+.-]*://                    # protocol (dropped)
      (?P<u_host>[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)
      (?P<u_path>/[^\s<>"'`]*)?
   )
+| (?P<protocol>[A-Za-z][A-Za-z0-9+.-]*://)         # bare head: ts_debug
+                                                   # maps 'protocol' to
+                                                   # no dictionary
 | (?P<email>[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)
 | (?P<hosturl>                                     # url without protocol
      (?P<h_host>[A-Za-z0-9][A-Za-z0-9-]*(?:\.[A-Za-z0-9-]+)+)
@@ -94,7 +110,7 @@ _TOKEN_RE = re.compile(
     re.VERBOSE | re.UNICODE,
 )
 
-_SKIP = ("tag", "entity")
+_SKIP = ("tag", "entity", "protocol")
 _HAS_DIGIT = re.compile(r"\d")
 
 #: fast-path support (used by tokenizer._pg_token_stream): tags are the
@@ -115,7 +131,7 @@ _HAS_DIGIT = re.compile(r"\d")
 #:    or numword (anything else — its lookahead grabs the full run).
 #:    All three are non-stem classes, so the lexeme is just
 #:    field.lower() regardless of which.
-TAG_SUB_RE = re.compile(r"<[/!]?[A-Za-z][^<>]{0,1023}>")
+TAG_SUB_RE = re.compile(TAG_PATTERN)
 STRUCT_RE = re.compile(r"[.@/:&<>-]")
 DIGIT_RE = re.compile(r"\d")
 PLAIN_WORD_RE = re.compile(r"[^\W\d_]+(?:'[^\W\d_]+)*")

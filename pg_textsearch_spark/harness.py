@@ -109,11 +109,23 @@ def _values_clause(weights: dict[str, int]) -> str:
     return f"(VALUES {rows}) AS q(term, query_freq)"
 
 
-def bm25_topk_oracle_sql(query: str, k: int = 10) -> str:
+def bm25_topk_oracle_sql(
+    query: str, k: int = 10, where_doc_sql: str | None = None
+) -> str:
+    """Oracle for the top-k paths. ``where_doc_sql`` (a predicate over
+    the ``documents`` table) restricts which docs may appear in the
+    result — the filtered-scan analog; corpus stats and dfs stay
+    index-wide, exactly like the engine (the WHERE clause never
+    changes IDF in the reference either)."""
     qtf = tokenize_query(query, CONFIG)
     assert qtf, "empty query"
     dlq = fieldnorm_case_sql("dl.doc_len")
     k1, b = DEFAULT_K1, DEFAULT_B
+    flt = (
+        f"WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE {where_doc_sql})"
+        if where_doc_sql
+        else ""
+    )
     return f"""
 WITH {_TOK_CTE},
 qterms AS (SELECT * FROM {_values_clause(qtf)}),
@@ -134,6 +146,7 @@ scored AS (
   JOIN dfs USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN corpus c
+  {flt}
   GROUP BY tf.doc_id
 )
 SELECT
@@ -223,6 +236,22 @@ def q_bm25_topk(query: str, k: int = 10):
         return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
     return run
+
+
+#: predicate for the filtered-top-k gate (over documents columns)
+FILTERED_WHERE_SQL = "source = 'src1' AND n_chars >= 120"
+
+
+def q_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.topk import topk_filtered
+
+    idx = ensure_index(spark, sf_dir)
+    docs = documents(spark, sf_dir)
+    allowed = docs.filter(
+        (F.col("source") == "src1") & (F.col("n_chars") >= 120)
+    ).select("doc_id")
+    res = topk_filtered(idx, QUERY_MULTI, allowed, k=10)
+    return res.select("rank", "doc_id", F.round("score", 4).alias("score"))
 
 
 def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,6 +832,7 @@ def harness_queries() -> dict:
         "bm25_topk_bmw": q_bmw_topk(QUERY_MULTI),
         "bm25_topk_serve": q_topk_serve,
         "bm25_topk_batch": q_topk_batch,
+        "bm25_topk_filtered": q_topk_filtered,
         "bm25_corpus_stats": q_corpus_stats,
         "bm25_term_df": q_term_df,
         "bm25_doclen_fieldnorm": q_doclen,
@@ -841,6 +871,9 @@ def harness_oracle_sql() -> dict:
         "bm25_topk_single": bm25_topk_oracle_sql(QUERY_SINGLE),
         "bm25_topk_repeat": bm25_topk_oracle_sql(QUERY_REPEAT),
         "bm25_topk_batch": topk_batch_oracle_sql(BATCH_QUERIES),
+        "bm25_topk_filtered": bm25_topk_oracle_sql(
+            QUERY_MULTI, where_doc_sql=FILTERED_WHERE_SQL
+        ),
         "bm25_corpus_stats": corpus_stats_oracle_sql(),
         "bm25_term_df": term_df_oracle_sql(TERMS_DF),
         "bm25_doclen_fieldnorm": doclen_oracle_sql(),

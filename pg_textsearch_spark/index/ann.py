@@ -83,21 +83,28 @@ class ANNIndex:
             )
         return self._centroids
 
+    @property
+    def segments(self) -> list[int]:
+        """Segment ids: 0 is the base build, higher ids are
+        ``ann_append`` deltas (manifests predating deltas imply [0])."""
+        return [int(s) for s in self.manifest.get("segments", [0])]
+
     def vectors(self) -> DataFrame:
-        """(vec_id, v, n_v, sketch, list_id) — list_id is a partition
-        directory column, so ``list_id IN (...)`` prunes files."""
+        """(vec_id, v, n_v, sketch, list_id) across all segments —
+        list_id is a partition directory column, so ``list_id IN
+        (...)`` prunes files in base and delta segments alike."""
         root = os.path.join(self.index_dir, "vectors")
         return self.spark.read.option("basePath", root).parquet(
-            os.path.join(root, "seg=0")
+            *[os.path.join(root, f"seg={s}") for s in self.segments]
         )
 
     def lsh_bands(self) -> DataFrame:
-        """(bits, vec_id, v, n_v, band) — band is a partition dir
-        column; files within a band are sorted by bits (row-group
-        pruning for ``bits IN (...)``)."""
+        """(bits, vec_id, v, n_v, band) across all segments — band is
+        a partition dir column; files within a band are sorted by bits
+        (row-group pruning for ``bits IN (...)``)."""
         root = os.path.join(self.index_dir, "lshbands")
         return self.spark.read.option("basePath", root).parquet(
-            os.path.join(root, "seg=0")
+            *[os.path.join(root, f"seg={s}") for s in self.segments]
         )
 
     def probe_scan(self, list_ids: list[int]) -> DataFrame:
@@ -142,13 +149,47 @@ def build_ann_index(
     )
     store.write(assigned, "vectors", 0, partition_by="list_id")
 
-    # band table derived from the WRITTEN vectors (no recompute):
-    # band b's key is bits (n_bits/bands)-wide slice b of the sketch
+    vecs = _write_band_table(spark, store, index_dir, 0, n_bits, bands)
+
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "list_id int, centroid array<double>",
+    )
+    store.write(cent_df, "centroids", 0)
+
+    num_vectors = vecs.count()
+    manifest = {
+        "format_version": 1,
+        "kind": "ann",
+        "n_lists": int(len(cents)),
+        "n_bits": int(n_bits),
+        "bands": int(bands),
+        "seed": int(seed),
+        "dim": int(cents.shape[1]) if len(cents) else 0,
+        "num_vectors": int(num_vectors),
+        "segments": [0],
+    }
+    _write_manifest(index_dir, manifest)
+    return ANNIndex(spark, index_dir)
+
+
+def _write_band_table(
+    spark: SparkSession,
+    store: ParquetDirStore,
+    index_dir: str,
+    seg: int,
+    n_bits: int,
+    bands: int,
+) -> DataFrame:
+    """Derive segment ``seg``'s band table from its WRITTEN vectors
+    (re-reads materialized columns, recomputes nothing): band b's key
+    is the (n_bits/bands)-wide slice b of the sketch. Returns the
+    segment's vectors DataFrame for follow-up stats."""
     width = n_bits // bands
     mask = (1 << width) - 1
     root = os.path.join(index_dir, "vectors")
     vecs = spark.read.option("basePath", root).parquet(
-        os.path.join(root, "seg=0")
+        os.path.join(root, f"seg={seg}")
     )
     band_struct = F.explode(
         F.array(
@@ -169,7 +210,7 @@ def build_ann_index(
     ).select(F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"),
              "vec_id", "v", "n_v")
     store.write(
-        band_rows, "lshbands", 0,
+        band_rows, "lshbands", seg,
         partition_by="band",
         sort_within=["bits"],
         parquet_block_size=1 << 20,
@@ -177,29 +218,59 @@ def build_ann_index(
         # parallel while partitionBy still lays out one dir per band
         shuffle_by=["band", "bits"],
     )
+    return vecs
 
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
-        "list_id int, centroid array<double>",
-    )
-    store.write(cent_df, "centroids", 0)
 
-    num_vectors = vecs.count()
-    manifest = {
-        "format_version": 1,
-        "kind": "ann",
-        "n_lists": int(len(cents)),
-        "n_bits": int(n_bits),
-        "bands": int(bands),
-        "seed": int(seed),
-        "dim": int(cents.shape[1]) if len(cents) else 0,
-        "num_vectors": int(num_vectors),
-    }
+def _write_manifest(index_dir: str, manifest: dict) -> None:
     tmp = os.path.join(index_dir, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     os.replace(tmp, os.path.join(index_dir, "manifest.json"))
-    return ANNIndex(spark, index_dir)
+
+
+def ann_append(
+    spark: SparkSession,
+    index: ANNIndex,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ANNIndex:
+    """Incremental refresh: assign only the NEW vectors into the
+    EXISTING lists/bands as a delta segment — the ANN analog of the
+    BM25 side's memtable-spill ingest (streaming/incremental.py), so
+    the two index families compose with the same streaming story.
+
+    Centroids are NOT re-fit (the documented drift caveat stands: if
+    the embedding distribution shifts, rebuild — same trade as the
+    base build). The delta's vectors land in
+    ``vectors/seg=<new>/list_id=<l>/`` and its band rows in
+    ``lshbands/seg=<new>/band=<b>/``, identity-partitioned exactly
+    like the base segment, so IVF/LSH queries prune delta files with
+    the same static predicates and need no code change. Assignment +
+    sketch run over the delta only — cost is O(|delta|), never a
+    corpus pass.
+    """
+    cents = index.centroids
+    seg = max(index.segments) + 1
+    store = ParquetDirStore(index.index_dir)
+    assigned = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(vec_col).alias("n_v"),
+        _sketch_expr(F.col(vec_col), index.n_bits, index.seed).alias(
+            "sketch"
+        ),
+        _assign_udf(cents)(F.col(vec_col)).alias("list_id"),
+    )
+    store.write(assigned, "vectors", seg, partition_by="list_id")
+    vecs = _write_band_table(
+        spark, store, index.index_dir, seg, index.n_bits, index.bands
+    )
+    manifest = dict(index.manifest)
+    manifest["num_vectors"] = int(manifest["num_vectors"]) + int(vecs.count())
+    manifest["segments"] = index.segments + [seg]
+    _write_manifest(index.index_dir, manifest)
+    return ANNIndex(spark, index.index_dir)
 
 
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:

@@ -532,6 +532,106 @@ def _flat_floor(flat: dict, weights: dict, k: int, k1, b, avgdl) -> float:
 SERVE_MAX_POSTINGS = 2_000_000
 
 
+def _pool_worker(index_dir: str, req_q, res_q) -> None:
+    """ServePool worker loop: Spark-free handle, sticky shard. One
+    ``None`` request shuts the worker down."""
+    li = LocalIndex(index_dir)
+    sv = ServingIndex(li)
+    while True:
+        item = req_q.get()
+        if item is None:
+            return
+        qid, query, k = item
+        try:
+            res_q.put((qid, topk_serve(li, query, k, _serving=sv), None))
+        except Exception as exc:  # surface, never wedge the pool
+            res_q.put((qid, None, repr(exc)))
+
+
+class ServePool:
+    """Sticky-sharded serving pool: N Spark-free worker processes over
+    one on-disk index, queries routed by head term (``route_query``)
+    so each worker's decoded-postings cache owns a disjoint slice of
+    the head-term working set.
+
+    This is the serving-tier shape the reference's concurrent TPS
+    table implies — its backends scan local segment files; here the
+    workers scan shared storage, so the pool scales horizontally by
+    adding hosts. The router process holds only a dictionary-df cache
+    (ServingIndex term_dfs) — routing never touches postings.
+
+    Results are identical to ``topk_serve`` (same handle type, same
+    kernels). Use as a context manager::
+
+        with ServePool(index_dir, n_workers=8) as pool:
+            rows = pool.search("hello world", k=10)
+            results = pool.search_many(["q1 text", "q2 text"])
+    """
+
+    def __init__(self, index_dir: str, n_workers: int = 8):
+        import multiprocessing as mp
+
+        self.index_dir = index_dir
+        self.n_workers = int(n_workers)
+        self._local = LocalIndex(index_dir)
+        self._router = ServingIndex(self._local)
+        ctx = mp.get_context("spawn")
+        self._res_q = ctx.Queue()
+        self._req_qs = [ctx.Queue() for _ in range(self.n_workers)]
+        self._procs = [
+            ctx.Process(
+                target=_pool_worker,
+                args=(index_dir, self._req_qs[w], self._res_q),
+                daemon=True,
+            )
+            for w in range(self.n_workers)
+        ]
+        for p in self._procs:
+            p.start()
+        self._next_qid = 0
+
+    def route(self, query: str) -> int:
+        return route_query(
+            self._local, query, self.n_workers, _serving=self._router
+        )
+
+    def search(self, query: str, k: int = 10):
+        """Blocking single query -> list[(rank, doc_id, score)]."""
+        return self.search_many([query], k)[0]
+
+    def search_many(self, queries: list[str], k: int = 10) -> list:
+        """Dispatch a batch across the sticky shards, gather results
+        in input order. Per-worker execution is serial (one process,
+        one cache); across workers it is parallel."""
+        pending = {}
+        for i, q in enumerate(queries):
+            qid = self._next_qid
+            self._next_qid += 1
+            pending[qid] = i
+            self._req_qs[self.route(q)].put((qid, q, int(k)))
+        out: list = [None] * len(queries)
+        for _ in range(len(queries)):
+            qid, rows, err = self._res_q.get()
+            if err is not None:
+                raise RuntimeError(f"ServePool worker failed: {err}")
+            out[pending.pop(qid)] = rows
+        return out
+
+    def close(self) -> None:
+        for q in self._req_qs:
+            q.put(None)
+        for p in self._procs:
+            p.join(timeout=10)
+            if p.is_alive():
+                p.terminate()
+
+    def __enter__(self) -> "ServePool":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def route_query(index, query: str, n_workers: int,
                 _serving: ServingIndex | None = None) -> int:
     """Sticky shard routing for a serving pool: queries whose most

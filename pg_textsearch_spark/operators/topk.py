@@ -422,6 +422,81 @@ def topk_exhaustive(
     return ranked
 
 
+def topk_filtered(
+    index: BM25Index,
+    query: str,
+    allowed: DataFrame,
+    k: int = 10,
+    on: str = "doc_id",
+) -> DataFrame:
+    """Top-k restricted to documents passing a relational predicate —
+    the reference's filtered index scan (its AM returns score-ordered
+    candidates, Postgres applies the WHERE clause, and the
+    limit-doubling rescan fetches deeper until k survive; reference:
+    scan.c rescan/limit handling, SURVEY.md S1-S5).
+
+    Spark-first inversion: instead of over-fetching and re-fetching,
+    the predicate joins INTO the scoring plan — ``allowed`` is any
+    DataFrame carrying the surviving keys (``doc_id``, or ``doc_key``
+    for key-built indexes via ``on="doc_key"``), e.g.
+    ``docs.filter(...).select("doc_id")``. Scoring semi-joins the
+    decoded postings against it BEFORE aggregation, so selective
+    predicates shrink the aggregate instead of inflating the fetch
+    depth; Catalyst broadcasts the filter side when it is small and
+    falls back to a shuffle join when it is not. One pass, exact k,
+    no doubling loop — semantics otherwise identical to
+    ``topk_exhaustive`` (float64 math, (score DESC, doc_id ASC))."""
+    spark = index.spark
+    if on == "doc_key":
+        km = index.keymap()
+        if km is None:
+            raise ValueError("on='doc_key' needs a key_col-built index")
+        allowed = km.join(
+            allowed.select("doc_key").distinct(), "doc_key"
+        ).select("doc_id")
+    else:
+        allowed = allowed.select("doc_id").distinct()
+    weights = index.query_weights(query)
+    if not weights:
+        return spark.createDataFrame(
+            [], "rank int, doc_id bigint, score double"
+        )
+    wdf = spark.createDataFrame(
+        [(t, float(idf), int(qf)) for t, (idf, qf) in weights.items()],
+        "term string, idf double, query_freq int",
+    )
+    flat = decode_postings_flat(index.pruned_postings(list(weights)))
+    if index.has_deletes():
+        flat = flat.join(
+            F.broadcast(index.deleted_ids()), "doc_id", "left_anti"
+        )
+    flat = flat.join(allowed, "doc_id", "semi")
+    avgdl = F.lit(float(index.avgdl))
+    scored = flat.join(F.broadcast(wdf), "term").select(
+        "doc_id",
+        bm25.bm25_score_expr(
+            tf=F.col("tf").cast("double"),
+            dl=_fieldnorm_decode_expr(F.col("fieldnorm")),
+            idf=F.col("idf"),
+            avgdl=avgdl,
+            query_freq=F.col("query_freq").cast("double"),
+            k1=index.k1,
+            b=index.b,
+        ).alias("term_score"),
+    )
+    doc_scores = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score")
+    )
+    topk = doc_scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+    return topk.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+        "doc_id",
+        "score",
+    )
+
+
 def topk_batch(
     index: BM25Index,
     queries: dict[str, str] | dict[int, str],

@@ -54,6 +54,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # shuffle/spill/broadcast block codec and parquet codec:
+        # overridable for the scaling experiments (BASELINE.md's
+        # residual analysis attributes the sub-0.8 epochs to
+        # data-proportional single-disk IO; zstd trades parallelizable
+        # CPU for serial disk bytes)
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         # one BLAS thread per python worker: N workers x N BLAS threads
         # thrashes the box and wrecks scaling measurements
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")

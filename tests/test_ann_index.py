@@ -131,3 +131,48 @@ def test_handle_reload_and_manifest(spark, ann):
 
     norms = np.linalg.norm(idx.centroids, axis=1)
     assert np.allclose(norms[norms > 0], 1.0, atol=1e-9)
+
+
+def test_append_delta_segment_found_without_rebuild(
+    spark, tmp_path_factory
+):
+    # build over the first half of the corpus, append the second half
+    # as a delta (same centroids), and require: (a) delta vectors are
+    # reachable through BOTH query paths with zero rebuild, (b) a
+    # probed self-query on a delta vector still self-hits at rank 1,
+    # (c) manifest stats cover base + delta.
+    from pg_textsearch_spark.index.ann import ann_append
+
+    ensure_shipped(spark)
+    emb = spark.read.parquet(EMB)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path_factory.mktemp("annappend") / "idx")
+    idx = build_ann_index(
+        spark, half, d, n_lists=8, n_bits=16, bands=8, seed=11
+    )
+    n_half = idx.manifest["num_vectors"]
+    idx = ann_append(spark, idx, rest)
+    assert idx.segments == [0, 1]
+    assert idx.manifest["num_vectors"] == emb.count()
+    assert idx.manifest["num_vectors"] > n_half
+    delta_queries = (
+        rest.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    ivf = ann_ivf_topk(idx, delta_queries, k=3, n_probe=3).collect()
+    assert ivf, "delta vectors unreachable via IVF"
+    for r in ivf:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]
+    lsh = ann_lsh_topk(idx, delta_queries, k=3).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in lsh}
+    for qid in {r["query_id"] for r in lsh}:
+        assert (qid, qid) in got  # identical sketch -> self always hits
+    # reload from disk: the manifest alone reconstructs the view
+    idx2 = ANNIndex(spark, d)
+    assert idx2.segments == [0, 1]
+    assert idx2.vectors().count() == emb.count()

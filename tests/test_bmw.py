@@ -348,3 +348,36 @@ def test_batch_multirun_and_deletes(spark, tmp_path_factory):
     delete_docs(idx, [r[0] for r in rows[::7]])
     idx = BM25Index(spark, path)
     _assert_batch_parity(idx, queries, k=10)
+
+
+def test_topk_filtered_matches_filtered_exhaustive(zipf_index, spark):
+    # the semi-join pushdown must equal "score everything, then apply
+    # the predicate, then cut to k" — with index-wide IDF/avgdl (the
+    # WHERE clause never changes corpus stats, reference semantics)
+    import math
+
+    from pg_textsearch_spark.operators.topk import topk_filtered
+
+    allow = set(range(0, 400, 3))
+    allowed = zipf_index.spark.createDataFrame(
+        [(d,) for d in sorted(allow)], "doc_id long"
+    )
+    for q in ("w0 w3", "w1 w7 w20", "w0"):
+        res = topk_filtered(zipf_index, q, allowed, k=10).collect()
+        exh = topk_exhaustive(zipf_index, q, k=400).collect()
+        want = [r for r in exh if r["doc_id"] in allow][:10]
+        assert [r["doc_id"] for r in res] == [r["doc_id"] for r in want], q
+        for r, e in zip(res, want):
+            assert math.isclose(r["score"], e["score"], rel_tol=1e-12)
+
+
+def test_topk_filtered_doc_key_requires_keymap(zipf_index):
+    import pytest as _pytest
+
+    from pg_textsearch_spark.operators.topk import topk_filtered
+
+    allowed = zipf_index.spark.createDataFrame(
+        [("k1",)], "doc_key string"
+    )
+    with _pytest.raises(ValueError, match="key_col"):
+        topk_filtered(zipf_index, "w0", allowed, k=5, on="doc_key")

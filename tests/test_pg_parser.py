@@ -424,3 +424,116 @@ def test_pgdocs_number_classes():
         ("version", "5.10.1"),
         ("sfloat", "1.2e+3"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# round-4 tail fixtures: tag attribute grammar, comments, protocol
+# tokens (PostgreSQL's public ts_debug documentation examples), and a
+# real public-domain web page (tests/webtext_fixture.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tag_with_attributes_skipped():
+    # ts_debug documentation example: <a href="dictionaries.html"> is
+    # one tag token (mapped to no dictionary)
+    assert scan('read <a href="dictionaries.html">this</a> now') == [
+        ("word", "read"),
+        ("word", "this"),
+        ("word", "now"),
+    ]
+
+
+def test_tag_quoted_attribute_may_contain_gt():
+    # the in-tag state machine respects quoted attribute values: a '>'
+    # inside quotes does not terminate the tag
+    assert scan('<img alt="x > y" src="a.png"> done') == [("word", "done")]
+    assert scan("<img alt='x > y'> done") == [("word", "done")]
+
+
+def test_html_comment_skipped_whole():
+    # wparser_def.c treats <!-- ... --> as one skipped token; the
+    # comment body must not leak tokens even across '>' characters
+    assert scan("a <!-- hidden words > here --> b") == [
+        ("word", "a"),
+        ("word", "b"),
+    ]
+
+
+def test_bare_protocol_head_skipped():
+    # ts_debug('http://...') emits a 'protocol' token mapped to no
+    # dictionary; a bare protocol head (no host) must vanish rather
+    # than leak a 'http' word
+    assert scan("use http:// or https:// mirrors") == [
+        ("word", "use"),
+        ("word", "or"),
+        ("word", "mirrors"),
+    ]
+
+
+def test_ts_debug_documented_class_examples():
+    # the class examples from PostgreSQL's textsearch-parsers table
+    assert scan("up-to-date") == [
+        ("hword", "up-to-date"),
+        ("hword_part", "up"),
+        ("hword_part", "to"),
+        ("hword_part", "date"),
+    ]
+    assert scan("postgresql-beta1") == [
+        ("numhword", "postgresql-beta1"),
+        ("hword_part", "postgresql"),
+        ("hword_numpart", "beta1"),
+    ]
+    assert scan("-1.234e56") == [("sfloat", "-1.234e56")]
+    assert scan("-1.234") == [("float", "-1.234")]
+    assert scan("-1234") == [("int", "-1234")]
+    assert scan("1234") == [("uint", "1234")]
+    assert scan("8.3.0") == [("version", "8.3.0")]
+    assert scan("lógico-matemática") == [
+        ("hword", "lógico-matemática"),
+        ("hword_part", "lógico"),
+        ("hword_part", "matemática"),
+    ]
+
+
+def test_webtext_fixture_markup_never_leaks():
+    from tests.webtext_fixture import WEBTEXT_HTML
+
+    toks = scan(WEBTEXT_HTML)
+    words = {t for _c, t in toks}
+    # attribute names/values, entity names, comment bodies, protocol
+    # heads: none may surface as tokens
+    for leaked in ("href", "charset", "utf", "amp", "mdash", "lang",
+                   "stylesheet", "viewport", "device-width", "hidden",
+                   "http", "https", "DOCTYPE", "300dpi", "nav"):
+        assert leaked not in words, leaked
+    # real content IS tokenized
+    assert "unanimous" in words
+    assert ("hword", "self-evident") in toks
+    assert ("word", "Nature's") in toks
+    assert ("email", "inquire@archives.gov") in toks
+    assert ("host", "www.archives.gov") in toks
+    assert (
+        "url_path", "/founding-docs/declaration-transcript"
+    ) in toks
+    assert ("file", "/archives/founding/transcripts/declaration.txt") in toks
+    assert ("version", "1.0.2") in toks
+
+
+def test_webtext_fixture_frozen_stream():
+    # the full (class, token) stream is pinned by hash — any scanner
+    # change on real markup-dense text is a conscious fixture update
+    import hashlib
+
+    from tests.webtext_fixture import WEBTEXT_HTML
+
+    toks = scan(WEBTEXT_HTML)
+    digest = hashlib.sha256(
+        "\x1e".join(f"{c}\x1f{t}" for c, t in toks).encode()
+    ).hexdigest()
+    assert len(toks) == WEBTEXT_N_TOKENS, len(toks)
+    assert digest == WEBTEXT_STREAM_SHA256, digest
+
+
+# pinned by running the scanner once at fixture-freeze time (round 4)
+WEBTEXT_N_TOKENS = 242
+WEBTEXT_STREAM_SHA256 = "bd9781abc463847529898aa1a3b0304c853f64ab40a41db9cb8878c50753ef8d"

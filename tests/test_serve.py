@@ -204,3 +204,30 @@ def test_topk_auto_dispatch(idx):
     assert [
         (r["rank"], r["doc_id"], round(r["score"], 9)) for r in big.collect()
     ] == [(r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows]
+
+
+def test_serve_pool_matches_topk_serve_and_routes_sticky(idx):
+    """ServePool results == topk_serve; routing is deterministic and
+    workers survive a mixed batch (incl. a no-result query)."""
+    from pg_textsearch_spark.operators.serve import (
+        LocalIndex,
+        ServingIndex,
+        ServePool,
+        topk_serve,
+    )
+
+    li = LocalIndex(idx.index_dir)
+    sv = ServingIndex(li)
+    queries = [
+        "alpha beta", "beta", "alpha", "zzz_absent_term", "alpha beta",
+    ]
+    with ServePool(idx.index_dir, n_workers=2) as pool:
+        routes = [pool.route(q) for q in queries]
+        # deterministic: same query -> same worker
+        assert routes[0] == routes[4]
+        got = pool.search_many(queries, k=5)
+        single = pool.search("alpha beta", k=5)
+    for q, rows in zip(queries, got):
+        want = topk_serve(li, q, 5, _serving=sv)
+        assert rows == want, q
+    assert single == got[0]
