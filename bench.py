@@ -199,6 +199,36 @@ def main() -> None:
         results["build_pages_scaling"] = extra["scaling_build_sec_4n"]
         total += sum(samples["n"]) + sum(samples["4n"])
 
+        # hardware ceiling: the same fixed numpy workload (sized like
+        # the build's Arrow/numpy batches — memory-bandwidth-bound like
+        # the real kernels) on N vs 4N INDEPENDENT processes. On this
+        # shared-memory box, 4x the processes do NOT get 4x the memory
+        # bandwidth, so even perfectly-scaling software caps below 1.0;
+        # on a real cluster 4x executors bring 4x bandwidth and this
+        # artifact vanishes. Task-level evidence that the SOFTWARE
+        # scales: stage utilization is 0.93-0.96 at 8 cores with no
+        # stragglers (event-log audit, BASELINE.md round 4).
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        ceilings: dict[str, float] = {}
+        for probe_name, probe in (
+            ("membw", _hw_probe_membw), ("cpu", _hw_probe_cpu)
+        ):
+            hw: dict[int, float] = {}
+            for n in (n_small, n_big):
+                with ctx.Pool(n) as pool:
+                    pool.map(probe, range(n))  # spawn+import warm
+                    t0 = time.time()
+                    # 6 full waves per side: short probes are hostage
+                    # to turbo/background noise; amortize it
+                    pool.map(probe, range(n * 6))
+                    hw[n] = (n * 6) / (time.time() - t0)
+            ceilings[probe_name] = round(
+                (hw[n_big] / hw[n_small]) / ratio, 3
+            )
+        extra["scaling"]["hw_ceiling"] = ceilings
+
     # ---- documents section at full parallelism ----
     spark = _new_session(CPUS, "docs")
     from pg_textsearch_spark.index.builder import build_index
@@ -300,9 +330,13 @@ def main() -> None:
         f"q{i}": " ".join(vocab[(i + j) % len(vocab)] for j in range(1 + i % 4))
         for i in range(N_BATCH_QUERIES)
     }
-    t0 = time.time()
-    topk_batch(idx, batch, k=10).collect()
-    batch_sec = time.time() - t0
+    topk_batch(idx, batch, k=10).collect()  # warm (df cache + kernel JIT)
+    bt = []
+    for _ in range(2):
+        t0 = time.time()
+        topk_batch(idx, batch, k=10).collect()
+        bt.append(time.time() - t0)
+    batch_sec = statistics.median(bt)
     results["batch_queries"] = round(batch_sec, 3)
     extra["batch_queries_per_sec"] = round(N_BATCH_QUERIES / batch_sec, 1)
     # record the mix so future rounds compare like for like: Zipf
@@ -547,6 +581,35 @@ def _pool_serve(queries: list[str]) -> int:
         topk_serve(li, q, 10, _serving=sv)
         n += 1
     return n
+
+
+def _hw_probe_membw(_i) -> int:
+    """Memory-bandwidth-bound probe: streaming ops over 32 MB arrays
+    (nothing fits in cache). Pessimistic bracket — measured ~0.46
+    2→8-proc scaling on this box: shared DRAM bandwidth saturates."""
+    import numpy as np
+
+    a = np.arange(4_000_000, dtype=np.int64)
+    s = 0
+    for _ in range(12):
+        b = (a * 2654435761) >> 7
+        c = b.astype(np.float64) * 1.0001
+        s += int(c[::997].sum())
+    return s
+
+
+def _hw_probe_cpu(_i) -> int:
+    """Compute-bound probe: the same op mix on L2-resident arrays.
+    Optimistic bracket — per-core caches scale with core count."""
+    import numpy as np
+
+    a = np.arange(40_000, dtype=np.int64)
+    s = 0
+    for _ in range(1200):
+        b = (a * 2654435761) >> 7
+        c = b.astype(np.float64) * 1.0001
+        s += int(c[::97].sum())
+    return s
 
 
 def _scale_child(cores: int) -> None:

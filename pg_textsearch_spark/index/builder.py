@@ -473,27 +473,52 @@ class IndexWriter:
         d = timed("postings_sec")
         self.store.write(postings, "postings", seg_id, **POSTINGS_WRITE_OPTS)
         d()
-        d = timed("doclen_sec")
-        self.store.write(doclen, "doclen", seg_id)
-        d()
-        if keymap is not None:
+        # the tail tables are independent chains once postings are on
+        # disk — submit them from threads so their (fixed, core-count-
+        # invariant) job planning/commit overlaps instead of serializing
+        # (the Spark scheduler interleaves stages; each chain keeps its
+        # internal order: doclen -> stats, postings -> dictionary).
+        # These small jobs were the worst-scaling part of the build
+        # (~4.5 s serial at 8 cores, dominated by per-job fixed cost).
+        from concurrent.futures import ThreadPoolExecutor
+
+        spark = postings.sparkSession
+
+        def doclen_then_stats():
+            d = timed("doclen_sec")
+            self.store.write(doclen, "doclen", seg_id)
+            d()
+            d = timed("stats_sec")
+            row = spark.read.schema(
+                "doc_id bigint, doc_len bigint, fieldnorm int"
+            ).parquet(os.path.join(base, "doclen", f"seg={seg_id}")).agg(
+                F.count("*").alias("num_docs"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
+                F.coalesce(F.max("doc_id"), F.lit(-1)).alias("max_doc_id"),
+            ).collect()[0]
+            d()
+            return row
+
+        def write_keymap():
+            if keymap is None:
+                return
             # doc_id -> source key (e.g. url): the ctid-map analog
             d = timed("keymap_sec")
             self.store.write(keymap, "keymap", seg_id)
             d()
-        spark = postings.sparkSession
-        d = timed("dictionary_sec")
-        self.write_dictionary(spark, seg_id)
-        d()
-        d = timed("stats_sec")
-        stats = spark.read.schema(
-            "doc_id bigint, doc_len bigint, fieldnorm int"
-        ).parquet(os.path.join(base, "doclen", f"seg={seg_id}")).agg(
-            F.count("*").alias("num_docs"),
-            F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
-            F.coalesce(F.max("doc_id"), F.lit(-1)).alias("max_doc_id"),
-        ).collect()[0]
-        d()
+
+        def write_dict():
+            d = timed("dictionary_sec")
+            self.write_dictionary(spark, seg_id)
+            d()
+
+        with ThreadPoolExecutor(3) as pool:
+            f_stats = pool.submit(doclen_then_stats)
+            f_key = pool.submit(write_keymap)
+            f_dict = pool.submit(write_dict)
+            stats = f_stats.result()
+            f_key.result()
+            f_dict.result()
 
         manifest = self.read_manifest()
         if not manifest:
