@@ -47,6 +47,7 @@ from pg_textsearch_spark.functions import bm25
 from pg_textsearch_spark.functions.fieldnorm import encode_fieldnorm
 from pg_textsearch_spark.functions.tokenizer import get_config
 from pg_textsearch_spark.index.blocks import BLOCKS_SCHEMA, build_blocks
+from pg_textsearch_spark.index.codec import BLOCK_SIZE
 
 #: docs per run: 2^13 = 8192. Caps any (term, run) posting group at 8192
 #: entries (64 blocks) regardless of term skew — the salting knob from
@@ -93,6 +94,49 @@ _POSTINGS_ROW_SCHEMA = (
 )
 
 
+def _vec_bit_lengths(v: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length with the codec's minimum of 1.
+    Exact for values < 2^53 (doc-id deltas and tfs are far below)."""
+    return np.maximum(
+        1, (np.floor(np.log2(np.maximum(v, 1))) + 1).astype(np.int64)
+    )
+
+
+def _pack_groups(vals: np.ndarray, starts, cnt, widths) -> tuple:
+    """Bit-pack many variable-width groups in a handful of numpy passes.
+
+    ``vals``: the concatenated group values (int64, grouped
+    contiguously per ``starts``/``cnt``); ``widths[g]``: bit width of
+    group g. Each group's stream is byte-aligned (exactly
+    ``(cnt*width+7)//8`` bytes), bit order little — byte-identical to
+    ``codec._pack_bits`` / ``_compress_small`` on the same input.
+    Returns (packed_bytes, byte_offsets, byte_lens): group g's stream
+    is ``packed_bytes[byte_offsets[g] : byte_offsets[g]+byte_lens[g]]``.
+    """
+    byte_lens = (cnt * widths + 7) // 8
+    byte_offs = np.concatenate(([0], np.cumsum(byte_lens)))
+    total_bits = int(byte_offs[-1]) * 8
+    flat = np.zeros(total_bits, dtype=np.uint8)
+    # per-value global bit offsets: group base + position*width
+    pos_in_group = np.arange(len(vals)) - np.repeat(starts, cnt)
+    bit_off = (
+        np.repeat(byte_offs[:-1] * 8, cnt) + pos_in_group * np.repeat(widths, cnt)
+    )
+    # widths vary per group — scatter per distinct width (few distinct)
+    w_per_val = np.repeat(widths, cnt)
+    u = vals.astype(np.uint64)
+    for w in np.unique(widths):
+        sel = np.flatnonzero(w_per_val == w)
+        if not len(sel):
+            continue
+        shifts = np.arange(w, dtype=np.uint64)
+        bits = ((u[sel][:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        positions = (bit_off[sel][:, None] + np.arange(w)).ravel()
+        flat[positions] = bits.ravel()
+    packed = np.packbits(flat, bitorder="little").tobytes()
+    return packed, byte_offs[:-1], byte_lens
+
+
 def _postings_rows(batches, codec: str = "bitpack"):
     """mapInPandas kernel: sorted (term, run, doc_id, tf, fieldnorm)
     stream -> one row per (term, run) with posting blocks.
@@ -103,63 +147,289 @@ def _postings_rows(batches, codec: str = "bitpack"):
     Everything is flat numpy — no per-posting Python objects. This is
     the reference's posting-serialization loop (segment.c:968-1495)
     recast as a vectorized streaming kernel.
+
+    The batch's cost profile: millions of (term, run) groups (a
+    web-scale vocabulary is Zipf — most groups are tiny), duplicate
+    (term, doc) rows to collapse (the single-shuffle build ships tf=1
+    occurrence rows), and one 898-byte-max payload per 128-doc block.
+    Per-GROUP numpy (the round-1..3 kernel) pays ~15 array-op
+    overheads per group — ~60 us on a tail group. This kernel instead
+    runs whole-batch vectorized passes: the duplicate collapse is one
+    segmented sum over adjacent equal (group, doc) rows (the input is
+    sorted, so duplicates are adjacent), blocks tile the collapsed
+    array contiguously so all skip metadata comes from three
+    ``reduceat`` calls, and ``_pack_groups`` bit-packs every block in
+    a handful of scatters — byte-identical to the per-block codec.
+    Only non-bitpack codecs and (never-expected) unsorted input take
+    the per-group reference path.
     """
-    import pandas as pd  # local import: runs on executors
+    yield from _postings_arrow(
+        (_pdf_to_batch(pdf) for pdf in batches), codec, out="pandas"
+    )
 
-    carry: pd.DataFrame | None = None
 
-    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        terms = pdf["term"].to_numpy()
-        runs = pdf["run"].to_numpy()
-        ids = pdf["doc_id"].to_numpy()
-        tfs = pdf["tf"].to_numpy()
-        fns = pdf["fieldnorm"].to_numpy()
-        change = np.flatnonzero(
-            (terms[1:] != terms[:-1]) | (runs[1:] != runs[:-1])
-        ) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(pdf)]))
-        out_t, out_r, out_df, out_b = [], [], [], []
+def _pdf_to_batch(pdf):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+
+
+#: arrow schema of one posting row (must mirror _POSTINGS_ROW_SCHEMA)
+def _postings_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("run", pa.int64()),
+            ("df_run", pa.int64()),
+            (
+                "blocks",
+                pa.list_(
+                    pa.struct(
+                        [
+                            ("last_doc_id", pa.int64()),
+                            ("doc_count", pa.int32()),
+                            ("block_max_tf", pa.int32()),
+                            ("block_max_norm", pa.int32()),
+                            ("payload", pa.binary()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+
+def _postings_arrow(batches, codec: str = "bitpack", out: str = "arrow"):
+    """Arrow-native posting-row kernel (see ``_postings_rows`` doc).
+
+    Works directly on ``pyarrow.RecordBatch``es (``mapInArrow``):
+    measured on the 2M-page build, the Arrow->pandas bridge of the
+    73M-row sorted token stream (string term column -> object dtype)
+    cost MORE than shuffle+sort+encode combined (~26 s of a 58 s
+    stage at 8 cores); arrow-side boundary detection (pc.not_equal on
+    sliced arrays) plus zero-copy int columns removes it entirely.
+    ``out="pandas"`` converts emitted batches for the legacy pandas
+    callers (tests).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_pandas = out == "pandas"
+    schema = _postings_arrow_schema()
+
+    def emit_legacy(batch: "pa.RecordBatch"):
+        terms = batch.column("term").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        runs = ids >> RUN_SHIFT
+        tfs = (
+            batch.column("tf").to_numpy(zero_copy_only=False)
+            if "tf" in batch.schema.names
+            else np.ones(len(ids), dtype=np.int64)
+        )
+        fns = batch.column("fieldnorm").to_numpy(zero_copy_only=False)
+        n_rows = len(ids)
+        terms_np = np.asarray(terms, dtype=object)
+        gchange = np.empty(n_rows, dtype=bool)
+        gchange[0] = True
+        gchange[1:] = (terms_np[1:] != terms_np[:-1]) | (
+            runs[1:] != runs[:-1]
+        )
+        starts = np.flatnonzero(gchange)
+        ends = np.concatenate((starts[1:], [n_rows]))
+        blocks_out = []
         for s, e in zip(starts, ends):
             gi, gt, gf = ids[s:e], tfs[s:e], fns[s:e]
             if len(gi) > 1 and not np.all(gi[1:] > gi[:-1]):
                 # duplicate (term, doc) occurrences from the
-                # single-shuffle build: sum their tfs here (the
-                # removed groupBy stage, vectorized). fieldnorm is
-                # constant per doc -> first occurrence wins.
+                # single-shuffle build: sum their tfs (the removed
+                # groupBy stage); fieldnorm is constant per doc ->
+                # first occurrence wins
                 uids, first_idx, inv = np.unique(
                     gi, return_index=True, return_inverse=True
                 )
                 gt = np.bincount(inv, weights=gt).astype(np.int64)
                 gf = gf[first_idx]
                 gi = uids
-            out_t.append(terms[s])
-            out_r.append(int(runs[s]))
-            out_df.append(int(len(gi)))
-            # already sorted by doc_id within the group
-            out_b.append(build_blocks(gi, gt, gf, codec))
-        return pd.DataFrame(
-            {"term": out_t, "run": out_r, "df_run": out_df, "blocks": out_b}
+            blocks_out.append(build_blocks(gi, gt, gf, codec))
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array([terms_np[s] for s in starts], pa.string()),
+                pa.array(runs[starts], pa.int64()),
+                pa.array(
+                    [sum(b["doc_count"] for b in bl) for bl in blocks_out],
+                    pa.int64(),
+                ),
+                pa.array(blocks_out, schema.field("blocks").type),
+            ],
+            schema=schema,
         )
 
-    for pdf in batches:
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        if len(pdf) == 0:
+    def emit(batch: "pa.RecordBatch"):
+        n_rows = batch.num_rows
+        t_arr = batch.column("term")
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        runs = ids >> RUN_SHIFT
+        tfs = (
+            batch.column("tf").to_numpy(zero_copy_only=False)
+            if "tf" in batch.schema.names
+            else None  # tf=1 per occurrence: segmented sum counts
+        )
+        fns = batch.column("fieldnorm").to_numpy(zero_copy_only=False)
+        gchange = np.empty(n_rows, dtype=bool)
+        gchange[0] = True
+        if n_rows > 1:
+            term_neq = pc.not_equal(
+                t_arr.slice(1), t_arr.slice(0, n_rows - 1)
+            ).to_numpy(zero_copy_only=False)
+            gchange[1:] = term_neq | (runs[1:] != runs[:-1])
+        starts = np.flatnonzero(gchange)
+        ends = np.concatenate((starts[1:], [n_rows]))
+        if codec != "bitpack":
+            return emit_legacy(batch)
+        # sortedness within groups is the shuffle's contract
+        # (sortWithinPartitions(term, run, doc_id)); verify cheaply and
+        # fall back to the reference path if ever violated
+        decreasing = np.empty(n_rows, dtype=bool)
+        decreasing[0] = False
+        decreasing[1:] = ids[1:] < ids[:-1]
+        decreasing[starts] = False
+        if decreasing.any():
+            return emit_legacy(batch)
+
+        # 1) collapse duplicate (group, doc) rows: one segmented sum
+        is_new = np.empty(n_rows, dtype=bool)
+        is_new[0] = True
+        is_new[1:] = ids[1:] != ids[:-1]
+        is_new |= gchange
+        seg = np.cumsum(is_new) - 1
+        ctf = (
+            np.bincount(seg) if tfs is None else np.bincount(seg, weights=tfs)
+        ).astype(np.int64)
+        cids = ids[is_new]
+        cfns = fns[is_new]  # first occurrence wins (constant per doc)
+        c_gchange = gchange[is_new]
+        c_starts = np.flatnonzero(c_gchange)
+        c_n = len(cids)
+        c_ends = np.concatenate((c_starts[1:], [c_n]))
+        c_cnt = c_ends - c_starts
+
+        # 2) tile groups into <=128-doc blocks (contiguous over the
+        #    collapsed arrays, so reduceat needs no gather)
+        nblk = (c_cnt + (BLOCK_SIZE - 1)) // BLOCK_SIZE
+        total_blk = int(nblk.sum())
+        blk_of = np.arange(total_blk) - np.repeat(
+            np.concatenate(([0], np.cumsum(nblk)[:-1])), nblk
+        )
+        blk_start = np.repeat(c_starts, nblk) + blk_of * BLOCK_SIZE
+        blk_end = np.minimum(
+            blk_start + BLOCK_SIZE, np.repeat(c_ends, nblk)
+        )
+        blk_cnt = blk_end - blk_start
+
+        # 3) deltas (absolute at each block head) + skip metadata
+        deltas = np.empty(c_n, dtype=np.int64)
+        deltas[0] = cids[0]
+        deltas[1:] = cids[1:] - cids[:-1]
+        deltas[blk_start] = cids[blk_start]
+        bmt = np.maximum.reduceat(ctf, blk_start)
+        bmn = np.minimum.reduceat(cfns, blk_start)
+        dmax = np.maximum.reduceat(deltas, blk_start)
+        id_bits = _vec_bit_lengths(dmax)
+        tf_bits = _vec_bit_lengths(bmt)
+        assert int(tf_bits.max(initial=1)) <= 16
+        id_pack, id_off, id_len = _pack_groups(
+            deltas, blk_start, blk_cnt, id_bits
+        )
+        tf_pack, tf_off, tf_len = _pack_groups(
+            ctf, blk_start, blk_cnt, tf_bits
+        )
+        fn_bytes = cfns.astype(np.uint8).tobytes()
+
+        # 4) assemble payloads (bulk tolist: ~10x cheaper than per-
+        #    element int() casts); skip metadata stays numpy and goes
+        #    straight into the arrow struct arrays below
+        l_cnt = blk_cnt.tolist()
+        l_idb = id_bits.tolist()
+        l_tfb = tf_bits.tolist()
+        l_ido = id_off.tolist()
+        l_idl = id_len.tolist()
+        l_tfo = tf_off.tolist()
+        l_tfl = tf_len.tolist()
+        l_bs = blk_start.tolist()
+        l_be = blk_end.tolist()
+        all_payloads = [
+            bytes((l_idb[i], l_tfb[i], l_cnt[i] - 1))
+            + id_pack[l_ido[i]: l_ido[i] + l_idl[i]]
+            + tf_pack[l_tfo[i]: l_tfo[i] + l_tfl[i]]
+            + fn_bytes[l_bs[i]: l_be[i]]
+            for i in range(total_blk)
+        ]
+        # nested blocks column built directly as arrow (ListArray of
+        # StructArray) — no pandas object column, no per-row dicts
+        struct_arr = pa.StructArray.from_arrays(
+            [
+                pa.array(cids[blk_end - 1], pa.int64()),
+                pa.array(blk_cnt.astype(np.int32)),
+                pa.array(bmt.astype(np.int32)),
+                pa.array(bmn.astype(np.int32)),
+                pa.array(all_payloads, pa.binary()),
+            ],
+            names=[
+                "last_doc_id", "doc_count", "block_max_tf",
+                "block_max_norm", "payload",
+            ],
+        )
+        offsets = np.concatenate(([0], np.cumsum(nblk))).astype(np.int32)
+        blocks_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), struct_arr
+        )
+        return pa.RecordBatch.from_arrays(
+            [
+                pc.take(t_arr, pa.array(starts)),
+                pa.array(runs[starts], pa.int64()),
+                pa.array(c_cnt, pa.int64()),
+                blocks_arr,
+            ],
+            schema=schema,
+        )
+
+    carry = None
+    for batch in batches:
+        if carry is not None and carry.num_rows:
+            tbl = pa.Table.from_batches([carry, batch]).combine_chunks()
+            bs = tbl.to_batches()
+            batch = (
+                bs[0]
+                if len(bs) == 1
+                else pa.RecordBatch.from_pandas(
+                    tbl.to_pandas(), preserve_index=False
+                )
+            )
+            carry = None
+        n_rows = batch.num_rows
+        if n_rows == 0:
             continue
-        terms = pdf["term"].to_numpy()
-        runs = pdf["run"].to_numpy()
-        change = np.flatnonzero(
-            (terms[1:] != terms[:-1]) | (runs[1:] != runs[:-1])
-        ) + 1
+        t_arr = batch.column("term")
+        runs = batch.column("doc_id").to_numpy(zero_copy_only=False) >> RUN_SHIFT
+        gchange = np.zeros(n_rows, dtype=bool)
+        if n_rows > 1:
+            term_neq = pc.not_equal(
+                t_arr.slice(1), t_arr.slice(0, n_rows - 1)
+            ).to_numpy(zero_copy_only=False)
+            gchange[1:] = term_neq | (runs[1:] != runs[:-1])
+        change = np.flatnonzero(gchange)
         if len(change) == 0:
-            carry = pdf  # whole batch is one (possibly continuing) group
+            carry = batch  # whole batch is one (maybe continuing) group
             continue
         last_start = int(change[-1])
-        carry = pdf.iloc[last_start:].reset_index(drop=True)
-        yield emit(pdf.iloc[:last_start])
-    if carry is not None and len(carry):
-        yield emit(carry)
+        carry = batch.slice(last_start)
+        out = emit(batch.slice(0, last_start))
+        yield out.to_pandas() if out_pandas else out
+    if carry is not None and carry.num_rows:
+        out = emit(carry)
+        yield out.to_pandas() if out_pandas else out
 
 
 def assign_doc_ids(
@@ -296,11 +566,7 @@ def build_segment_dataframes(
     )
 
     flat = tokens.filter(F.col("term").isNotNull()).select(
-        "term",
-        F.shiftright("doc_id", RUN_SHIFT).alias("run"),
-        "doc_id",
-        "tf",
-        "fieldnorm",
+        "term", "doc_id", "tf", "fieldnorm"
     )
     return postings_from_flat(flat, n_buckets, codec), doclen
 
@@ -344,13 +610,10 @@ def _words_segment_dataframes(
     )
     if cfg.do_stem:
         tokens = tokens.withColumn("term", _stem_udf(cfg)("term"))
-    flat = tokens.select(
-        "term",
-        F.shiftright("doc_id", RUN_SHIFT).alias("run"),
-        "doc_id",
-        F.lit(1).cast("int").alias("tf"),
-        "fieldnorm",
-    )
+    # no tf column: each row is one occurrence (tf=1) and the block
+    # kernel's segmented sum counts them — why ship 4 constant
+    # bytes/row through the arrow bridge
+    flat = tokens.select("term", "doc_id", "fieldnorm")
     return postings_from_flat(flat, n_buckets, codec), doclen
 
 
@@ -369,12 +632,27 @@ def postings_from_flat(
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def rows(batches):
-        yield from _postings_rows(batches, codec)
+        yield from _postings_arrow(batches, codec)
 
+    # ship the MINIMUM bytes into the Python worker: the JVM->Python
+    # Arrow IPC of the sorted token stream is the build's single
+    # largest cost (measured 26 s of a 58 s stage at 8 cores — more
+    # than shuffle+sort+encode together), and it is pure bytes/row.
+    # ``run`` is derivable (doc_id >> RUN_SHIFT, monotone in doc_id, so
+    # sorting by (term, doc_id) already groups runs contiguously), a
+    # missing ``tf`` column means tf=1 per occurrence (the kernel's
+    # segmented sum then just counts), and fieldnorm fits a smallint.
+    cols = [F.col("term"), F.col("doc_id")]
+    if "tf" in flat.columns:
+        cols.append(F.col("tf"))
+    cols.append(F.col("fieldnorm").cast("smallint").alias("fieldnorm"))
+    slim = flat.select(*cols)
     return (
-        flat.repartition(n_shuffle, "term", "run")
-        .sortWithinPartitions("term", "run", "doc_id")
-        .mapInPandas(rows, _POSTINGS_ROW_SCHEMA)
+        slim.repartition(
+            n_shuffle, "term", F.shiftright("doc_id", RUN_SHIFT)
+        )
+        .sortWithinPartitions("term", "doc_id")
+        .mapInArrow(rows, _POSTINGS_ROW_SCHEMA)
         .withColumn("bucket", term_bucket_expr(F.col("term"), n_buckets))
     )
 

@@ -167,3 +167,104 @@ def test_varint_index_end_to_end(spark, tmp_path):
         assert a == b
         w = [(r["rank"], r["doc_id"]) for r in topk_bmw(i2, q, 10).collect()]
         assert w == [(x[0], x[1]) for x in a]
+
+
+def test_postings_rows_vectorized_byte_identical():
+    """The cross-group vectorized encoder must produce byte-identical
+    rows to the per-group build_blocks path on every group shape:
+    tiny tail groups, exact block-boundary sizes, multi-block head
+    groups, duplicate doc_ids (single-shuffle tf collapse), and both
+    codecs."""
+    import random
+
+    import pandas as pd
+
+    from pg_textsearch_spark.index.blocks import build_blocks
+    from pg_textsearch_spark.index.builder import _postings_rows
+
+    rng = random.Random(1234)
+    rows = []
+    gid = 0
+    for size in [1, 1, 2, 3, 5, 7, 127, 128, 129, 200, 300, 1000]:
+        term = f"term{gid:04d}"
+        gid += 1
+        # ids within one 8192-doc run -> sizes > 128 exercise
+        # multi-block groups (run is derived as doc_id >> 13)
+        ids = sorted(rng.sample(range(0, 8192), size))
+        for d in ids:
+            rows.append((term, 0, d, rng.randrange(1, 300), rng.randrange(0, 256)))
+    # duplicate doc_ids within a group (tf must collapse by sum)
+    rows += [("zdup", 0, 5, 2, 9), ("zdup", 0, 5, 3, 9), ("zdup", 0, 8, 1, 4)]
+    # a group with a large absolute first id (wide first delta); run
+    # is DERIVED from doc_id (id >> 13) since round 4, so the column
+    # must carry the consistent value
+    wrun = ((1 << 40) + 7) >> 13
+    rows += [
+        ("zwide", wrun, (1 << 40) + 7, 1, 0),
+        ("zwide", wrun, (1 << 40) + 9, 2, 1),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["term", "run", "doc_id", "tf", "fieldnorm"]
+    )
+
+    def reference_rows(pdf, codec):
+        out = []
+        pdf = pdf.assign(run=pdf["doc_id"] // 8192)
+        for (term, run), g in pdf.groupby(["term", "run"], sort=False):
+            gi = g["doc_id"].to_numpy()
+            gt = g["tf"].to_numpy()
+            gf = g["fieldnorm"].to_numpy()
+            if len(gi) > 1 and not (gi[1:] > gi[:-1]).all():
+                import numpy as np
+
+                uids, first_idx, inv = np.unique(
+                    gi, return_index=True, return_inverse=True
+                )
+                gt = np.bincount(inv, weights=gt).astype("int64")
+                gf = gf[first_idx]
+                gi = uids
+            out.append(
+                (term, run, len(gi), build_blocks(gi, gt, gf, codec))
+            )
+        return out
+
+    for codec in ("bitpack", "varint"):
+        got = list(_postings_rows(iter([pdf]), codec))
+        got_rows = [
+            (r.term, r.run, r.df_run, r.blocks)
+            for chunk in got
+            for r in chunk.itertuples()
+        ]
+        want = reference_rows(pdf, codec)
+        assert len(got_rows) == len(want)
+        for (gt_, gr, gdf, gb), (wt, wr, wdf, wb) in zip(got_rows, want):
+            assert (gt_, gr, gdf) == (wt, wr, wdf)
+            assert len(gb) == len(wb), (gt_, len(gb), len(wb))
+            for a, b in zip(gb, wb):
+                assert a["last_doc_id"] == b["last_doc_id"]
+                assert a["doc_count"] == b["doc_count"]
+                assert a["block_max_tf"] == b["block_max_tf"]
+                assert a["block_max_norm"] == b["block_max_norm"]
+                assert bytes(a["payload"]) == bytes(b["payload"]), gt_
+
+
+def test_postings_rows_vectorized_batch_carry():
+    """Groups spanning Arrow batch boundaries still come out whole."""
+    import pandas as pd
+
+    from pg_textsearch_spark.index.builder import _postings_rows
+
+    p1 = pd.DataFrame(
+        [("a", 0, 1, 1, 3), ("a", 0, 2, 1, 3), ("b", 0, 7, 2, 5)],
+        columns=["term", "run", "doc_id", "tf", "fieldnorm"],
+    )
+    p2 = pd.DataFrame(
+        [("b", 0, 9, 1, 5), ("c", 1, 8192 + 4, 1, 1)],
+        columns=["term", "run", "doc_id", "tf", "fieldnorm"],
+    )
+    rows = [
+        (r.term, r.run, r.df_run)
+        for chunk in _postings_rows(iter([p1, p2]))
+        for r in chunk.itertuples()
+    ]
+    assert rows == [("a", 0, 2), ("b", 0, 2), ("c", 1, 1)]
