@@ -365,6 +365,20 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_textsearch_spark.operators.hybrid import hybrid_rrf_topk
+
+    idx = ensure_index(spark, sf_dir)
+    emb = embeddings(spark, sf_dir)
+    qvec = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    res = hybrid_rrf_topk(
+        idx, QUERY_MULTI, qvec, emb=emb, k=10, candidates=50
+    )
+    return res.select("rank", "doc_id", F.round("rrf", 6).alias("rrf"))
+
+
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_textsearch_spark.operators.knn import knn_bruteforce
 
@@ -754,6 +768,73 @@ FROM r WHERE rank <= {k}
 """
 
 
+def hybrid_rrf_oracle_sql(
+    query: str, k: int = 10, c: int = 50, k0: int = 60, qvec_id: int = 0
+) -> str:
+    """RRF fusion oracle: BM25 top-c CTE (index-free scoring, same as
+    bm25_topk_oracle_sql) full-outer-joined with exact-cosine top-c
+    for the query vector ``embeddings[qvec_id]``; rrf = sum of
+    1/(k0 + rank) over the rankings where the doc appears."""
+    qtf = tokenize_query(query, CONFIG)
+    assert qtf, "empty query"
+    dlq = fieldnorm_case_sql("dl.doc_len")
+    k1, b = DEFAULT_K1, DEFAULT_B
+    cos = _COS_SQL.format(a="e.embedding", b="q.embedding")
+    return f"""
+WITH {_TOK_CTE},
+qterms AS (SELECT * FROM {_values_clause(qtf)}),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * {k1 + 1.0}
+           / (tf.tf + {k1} * ({1.0 - b} + {b} * ({dlq}) / c.avgdl))
+           * q.query_freq
+         ) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY tf.doc_id
+),
+b AS (
+  -- rank over ROUNDED scores, id tie-break (engine-reproducible
+  -- fusion — mirrors operators/hybrid.py)
+  SELECT doc_id, trank FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY round(score, 4) DESC, doc_id ASC
+           ) AS trank
+    FROM scored
+  ) WHERE trank <= {c}
+),
+v AS (
+  SELECT vec_id AS doc_id, vrank FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+             ORDER BY round({cos}, 6) DESC, e.vec_id ASC
+           ) AS vrank
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = {qvec_id}) q
+  ) WHERE vrank <= {c}
+),
+f AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0 / ({k0} + trank), 0)
+         + coalesce(1.0 / ({k0} + vrank), 0) AS rrf
+  FROM b FULL JOIN v ON b.doc_id = v.doc_id
+)
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC)::INT AS rank,
+       doc_id, round(rrf, 6) AS rrf
+FROM f ORDER BY rank LIMIT {k}
+"""
+
+
 def text_stats_oracle_sql() -> str:
     from pg_textsearch_spark.functions import textstats as ts
 
@@ -850,6 +931,7 @@ def harness_queries() -> dict:
         "dedup_embedding_cosine": q_embedding_neardup,
         "dedup_embedding_lsh": q_embedding_neardup_lsh,
         "knn_cosine_topk": q_knn_topk,
+        "hybrid_rrf_topk": q_hybrid_rrf,
         "knn_ann_lsh": q_ann_lsh,
         "knn_ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
@@ -888,6 +970,7 @@ def harness_oracle_sql() -> dict:
         ),
         "dedup_embedding_cosine": embedding_neardup_oracle_sql(0.35),
         "knn_cosine_topk": knn_oracle_sql(10, 5),
+        "hybrid_rrf_topk": hybrid_rrf_oracle_sql(QUERY_MULTI),
         "text_stats": text_stats_oracle_sql(),
         "search_facets": search_facets_oracle_sql(QUERY_MULTI),
     }
