@@ -234,6 +234,7 @@ def ann_append(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate_ids: bool = False,
 ) -> ANNIndex:
     """Incremental refresh: assign only the NEW vectors into the
     EXISTING lists/bands as a delta segment — the ANN analog of the
@@ -249,7 +250,46 @@ def ann_append(
     the same static predicates and need no code change. Assignment +
     sketch run over the delta only — cost is O(|delta|), never a
     corpus pass.
+
+    The delta is validated UP FRONT (advisor r4): embedding dims must
+    match the manifest and vec_ids must be unique within the delta —
+    one delta-sized agg job, failing loudly instead of deep inside the
+    assign UDF / silently double-counting. Vec_ids already present in
+    EARLIER segments are the caller's contract (re-appending a vector
+    duplicates it in queries and num_vectors); pass
+    ``validate_ids=True`` to pay one id-column anti-join scan of the
+    existing segments that enforces it.
     """
+    chk = emb.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.col(id_col)).alias("n_ids"),
+        F.min(F.size(F.col(vec_col))).alias("dmin"),
+        F.max(F.size(F.col(vec_col))).alias("dmax"),
+    ).collect()[0]
+    if chk["n"] == 0:
+        return index  # empty delta: nothing to write
+    want = int(index.manifest.get("dim", 0))
+    if chk["dmin"] != want or chk["dmax"] != want:
+        raise ValueError(
+            f"ann_append: delta embedding dim range "
+            f"[{chk['dmin']}, {chk['dmax']}] != index dim {want}"
+        )
+    if chk["n_ids"] != chk["n"]:
+        raise ValueError(
+            f"ann_append: delta has {chk['n'] - chk['n_ids']} duplicate "
+            f"{id_col} values — each vector may be appended once"
+        )
+    if validate_ids:
+        n_dup = (
+            emb.select(F.col(id_col).cast("long").alias("vec_id"))
+            .join(index.vectors().select("vec_id"), "vec_id", "semi")
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"ann_append: {n_dup} delta {id_col} values already "
+                f"indexed in segments {index.segments}"
+            )
     cents = index.centroids
     seg = max(index.segments) + 1
     store = ParquetDirStore(index.index_dir)

@@ -96,10 +96,14 @@ _POSTINGS_ROW_SCHEMA = (
 
 def _vec_bit_lengths(v: np.ndarray) -> np.ndarray:
     """Vectorized int.bit_length with the codec's minimum of 1.
-    Exact for values < 2^53 (doc-id deltas and tfs are far below)."""
-    return np.maximum(
-        1, (np.floor(np.log2(np.maximum(v, 1))) + 1).astype(np.int64)
-    )
+
+    Uses ``frexp``'s exact binary exponent (for 1 <= v < 2^53 the
+    float64 conversion is exact and the exponent IS bit_length) —
+    ``floor(log2(v)) + 1`` can round UP for values just below a power
+    of two once v nears 2^48, silently widening the stream by one bit
+    vs ``codec._width`` (decodable, but breaks byte-identical parity).
+    """
+    return np.frexp(np.maximum(v, 1).astype(np.float64))[1].astype(np.int64)
 
 
 def _pack_groups(vals: np.ndarray, starts, cnt, widths) -> tuple:

@@ -62,6 +62,47 @@ def rrf_fuse(
     )
 
 
+def _collect_ranked_side(
+    spark, fetch, c: int, score_col: str, id_col: str, dp: int
+) -> DataFrame:
+    """One ranker's top-``c`` constituent ranking as a c-row local
+    DataFrame (id aliased to doc_id), ranks assigned over ROUNDED
+    scores (``F.round(score, dp)`` DESC, id ASC).
+
+    ``fetch(depth)`` returns that ranker's top-``depth`` rows by RAW
+    score. The rounded re-rank can pull a doc from below the raw cut
+    into the top-c only if its rounded score ties the score at position
+    c — so the fetch deepens (pad x4) while the fetched window's raw
+    minimum could still round up to the boundary's rounded score
+    (conservative half-ulp margin — no driver-side reimplementation of
+    the JVM rounding mode). Terminates: depth grows until the fetch
+    comes back untruncated (the ranker's full candidate set). Advisor
+    r4: the previous fixed pad=16 diverged from the full-corpus oracle
+    ranking whenever >16 docs tied at the rounded cut."""
+    pad = 16
+    eps = 0.5 * 10.0 ** (-dp) * 1.0001
+    while True:
+        w = Window.orderBy(F.desc("rs"), F.asc("id"))
+        rows = (
+            fetch(c + pad)
+            .select(
+                F.col(id_col).alias("id"),
+                F.round(score_col, dp).alias("rs"),
+                F.col(score_col).cast("double").alias("raw"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .collect()
+        )
+        if len(rows) < c + pad or len(rows) <= c:
+            break  # untruncated: the ranker has nothing deeper
+        boundary = rows[c - 1]["rs"]
+        if min(r["raw"] for r in rows) < boundary - eps:
+            break  # nothing unfetched can round up into the boundary tie
+        pad *= 4
+    pairs = [(int(r["id"]), int(r["rank"])) for r in rows if r["rank"] <= c]
+    return spark.createDataFrame(pairs, "doc_id long, rank int")
+
+
 def hybrid_rrf_topk(
     index,
     query_text: str,
@@ -93,18 +134,14 @@ def hybrid_rrf_topk(
     # under different summation orders (engines, plans), and a rank
     # flip at depth r shifts rrf by ~1/(k0+r)^2; rounding makes the
     # fused ranking reproducible, the engine-wide determinism
-    # invariant. Candidates are over-fetched by a pad so the rounded
-    # cut keeps the same membership on every engine.
-    pad = 16
-    text_raw = topk_exhaustive(index, query_text, k=c + pad)
-    tw = Window.orderBy(
-        F.desc(F.round("score", 4)), F.asc("doc_id")
-    )
-    text_side = (
-        text_raw.select("doc_id", F.row_number().over(tw).alias("rank"))
-        .filter(F.col("rank") <= c)
-    )
+    # invariant. _collect_ranked_side deepens the raw fetch until the
+    # rounded cut's membership is boundary-tie-safe.
     spark = index.spark
+    text_side = _collect_ranked_side(
+        spark,
+        lambda d: topk_exhaustive(index, query_text, k=d),
+        c, "score", "doc_id", 4,
+    )
     qdf = spark.createDataFrame(
         [(0, [float(x) for x in query_vec])],
         "query_id long, query_vec array<double>",
@@ -112,20 +149,16 @@ def hybrid_rrf_topk(
     if ann_index is not None:
         from pg_textsearch_spark.index.ann import ann_ivf_topk
 
-        vec = ann_ivf_topk(ann_index, qdf, k=c + pad, n_probe=n_probe)
+        def vec_fetch(d):
+            return ann_ivf_topk(ann_index, qdf, k=d, n_probe=n_probe)
     else:
         assert emb is not None, "pass emb= (exact) or ann_index= (ANN)"
         from pg_textsearch_spark.operators.knn import knn_bruteforce
 
-        vec = knn_bruteforce(
-            emb, qdf, k=c + pad, id_col=vec_id_col, vec_col=vec_col
-        )
-    vw = Window.orderBy(F.desc(F.round("cos", 6)), F.asc("vec_id"))
-    vec_side = (
-        vec.select(
-            F.col("vec_id").alias("doc_id"),
-            F.row_number().over(vw).alias("rank"),
-        )
-        .filter(F.col("rank") <= c)
-    )
+        def vec_fetch(d):
+            return knn_bruteforce(
+                emb, qdf, k=d, id_col=vec_id_col, vec_col=vec_col
+            )
+
+    vec_side = _collect_ranked_side(spark, vec_fetch, c, "cos", "vec_id", 6)
     return rrf_fuse([text_side, vec_side], k=k, k0=k0)

@@ -610,11 +610,25 @@ class ServePool:
             pending[qid] = i
             self._req_qs[self.route(q)].put((qid, q, int(k)))
         out: list = [None] * len(queries)
-        for _ in range(len(queries)):
+        # drain EVERY outstanding qid before raising: workers always
+        # answer (a failing query posts an error tuple), so stopping at
+        # the first error would leave this batch's remaining results
+        # queued in _res_q and wedge the NEXT search_many with stale
+        # qids. Foreign qids (from a batch a previous caller abandoned
+        # mid-drain, e.g. on KeyboardInterrupt) are discarded.
+        first_err = None
+        while pending:
             qid, rows, err = self._res_q.get()
+            idx = pending.pop(qid, None)
+            if idx is None:
+                continue  # stale result from an abandoned batch
             if err is not None:
-                raise RuntimeError(f"ServePool worker failed: {err}")
-            out[pending.pop(qid)] = rows
+                if first_err is None:
+                    first_err = err
+            else:
+                out[idx] = rows
+        if first_err is not None:
+            raise RuntimeError(f"ServePool worker failed: {first_err}")
         return out
 
     def close(self) -> None:

@@ -176,3 +176,25 @@ def test_append_delta_segment_found_without_rebuild(
     idx2 = ANNIndex(spark, d)
     assert idx2.segments == [0, 1]
     assert idx2.vectors().count() == emb.count()
+
+
+def test_append_validates_delta(spark, ann, tmp_path_factory):
+    # advisor r4: dim mismatch and duplicate delta ids must fail
+    # loudly up front, not deep in the assign UDF / silently
+    from pg_textsearch_spark.index.ann import ann_append
+
+    emb = spark.read.parquet(EMB)
+    bad_dim = emb.limit(2).select(
+        "vec_id", F.slice("embedding", 1, 3).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ann_append(spark, ann, bad_dim)
+    dup = emb.limit(1).union(emb.limit(1))
+    with pytest.raises(ValueError, match="duplicate"):
+        ann_append(spark, ann, dup)
+    # re-appending already-indexed ids is caught only under the
+    # opt-in scan (the default documents the caller-dedupes contract)
+    with pytest.raises(ValueError, match="already"):
+        ann_append(spark, ann, emb.limit(3), validate_ids=True)
+    # empty delta is a no-op, not a new segment
+    assert ann_append(spark, ann, emb.limit(0)).segments == ann.segments

@@ -95,3 +95,53 @@ def test_rrf_fuse_three_rankings(spark):
         assert math.isclose(
             got[d], 1.0 / (k0 + 1) + 1.0 / (k0 + 2), rel_tol=1e-12
         )
+
+
+def test_rrf_boundary_ties_deepen_past_pad(spark, tmp_path_factory):
+    """Advisor r4: when more docs than the fetch pad tie at the
+    rounded candidate cut, the side fetch must deepen until the top-c
+    membership equals the full-corpus rounded ranking."""
+    import numpy as np
+
+    ensure_shipped(spark)
+    n = 40
+    rows = [(i, "tie alpha", [float((i % 7) + 1), 1.0, 0.5]) for i in range(n)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(i, v) for i, _, v in rows], "vec_id long, embedding array<float>"
+    )
+    d = str(tmp_path_factory.mktemp("hytie") / "idx")
+    build_index(spark, docs, d, config="ascii", n_buckets=4)
+    idx = BM25Index(spark, d)
+    qvec = [1.0, 1.0, 0.5]
+    # c + initial pad = 8 + 16 = 24 < 40 tied docs on the text side
+    got = hybrid_rrf_topk(
+        idx, "tie", qvec, emb=emb, k=5, candidates=8
+    ).collect()
+    # oracle: full-corpus constituent rankings, rounded + id tie-break
+    trows = sorted(
+        topk_exhaustive(idx, "tie", k=n).collect(),
+        key=lambda r: (-round(r["score"], 4), r["doc_id"]),
+    )[:8]
+    qdf = spark.createDataFrame(
+        [(0, qvec)], "query_id long, query_vec array<double>"
+    )
+    vrows = sorted(
+        knn_bruteforce(emb, qdf, k=n).collect(),
+        key=lambda r: (-round(r["cos"], 6), r["vec_id"]),
+    )[:8]
+    scores = {}
+    for i, r in enumerate(trows):
+        scores[r["doc_id"]] = scores.get(r["doc_id"], 0.0) + 1.0 / (
+            DEFAULT_RRF_K0 + i + 1
+        )
+    for i, r in enumerate(vrows):
+        scores[r["vec_id"]] = scores.get(r["vec_id"], 0.0) + 1.0 / (
+            DEFAULT_RRF_K0 + i + 1
+        )
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["rrf"], s, rel_tol=1e-12)

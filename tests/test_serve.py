@@ -231,3 +231,22 @@ def test_serve_pool_matches_topk_serve_and_routes_sticky(idx):
         want = topk_serve(li, q, 5, _serving=sv)
         assert rows == want, q
     assert single == got[0]
+
+
+def test_serve_pool_survives_worker_error(idx):
+    """Advisor r4: an error mid-batch must drain the batch's remaining
+    results (and discard stale ones) so the pool stays usable."""
+    from pg_textsearch_spark.operators.serve import ServePool
+
+    with ServePool(idx.index_dir, n_workers=2) as pool:
+        good = pool.search_many(["alpha beta", "beta"], k=5)
+        # forge a worker failure for the NEXT batch's first qid: the
+        # real result for that qid then arrives as a stale duplicate
+        # and must be discarded, while the other two queries' results
+        # are drained before the raise
+        pool._res_q.put((pool._next_qid, None, "forged failure"))
+        with pytest.raises(RuntimeError, match="forged failure"):
+            pool.search_many(["alpha beta", "beta", "alpha"], k=5)
+        # the pool is NOT wedged: a fresh batch still answers correctly
+        again = pool.search_many(["alpha beta", "beta"], k=5)
+    assert again == good
