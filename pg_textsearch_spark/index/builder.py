@@ -93,6 +93,12 @@ _POSTINGS_ROW_SCHEMA = (
     "term string, run bigint, df_run bigint, blocks " + BLOCKS_SCHEMA
 )
 
+#: id-keyed variant (dictionary-encoded build): the kernel never sees
+#: a term string — the (term_id, term) map is joined back JVM-side
+_POSTINGS_ROW_SCHEMA_IDS = (
+    "term_id bigint, run bigint, df_run bigint, blocks " + BLOCKS_SCHEMA
+)
+
 
 def _vec_bit_lengths(v: np.ndarray) -> np.ndarray:
     """Vectorized int.bit_length with the codec's minimum of 1.
@@ -178,13 +184,14 @@ def _pdf_to_batch(pdf):
     return pa.RecordBatch.from_pandas(pdf, preserve_index=False)
 
 
-#: arrow schema of one posting row (must mirror _POSTINGS_ROW_SCHEMA)
-def _postings_arrow_schema():
+#: arrow schema of one posting row (must mirror _POSTINGS_ROW_SCHEMA /
+#: _POSTINGS_ROW_SCHEMA_IDS)
+def _postings_arrow_schema(key: str = "term"):
     import pyarrow as pa
 
     return pa.schema(
         [
-            ("term", pa.string()),
+            (key, pa.int64() if key == "term_id" else pa.string()),
             ("run", pa.int64()),
             ("df_run", pa.int64()),
             (
@@ -205,7 +212,10 @@ def _postings_arrow_schema():
     )
 
 
-def _postings_arrow(batches, codec: str = "bitpack", out: str = "arrow"):
+def _postings_arrow(
+    batches, codec: str = "bitpack", out: str = "arrow",
+    presort: bool = False,
+):
     """Arrow-native posting-row kernel (see ``_postings_rows`` doc).
 
     Works directly on ``pyarrow.RecordBatch``es (``mapInArrow``):
@@ -216,23 +226,46 @@ def _postings_arrow(batches, codec: str = "bitpack", out: str = "arrow"):
     sliced arrays) plus zero-copy int columns removes it entirely.
     ``out="pandas"`` converts emitted batches for the legacy pandas
     callers (tests).
+
+    The group key column is either ``term`` (string) or ``term_id``
+    (int64 — the dictionary-encoded build, where strings never cross
+    the bridge at all); detected from the first batch's schema. The
+    doc columns are either (doc_id, fieldnorm) or one packed ``docfn
+    = doc_id << 8 | fieldnorm`` int64 (the bulk build: one less
+    column per row over the bridge — the JVM ArrowWriter cost is
+    per-cell, and fieldnorm is 8 bits by construction).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
     out_pandas = out == "pandas"
-    schema = _postings_arrow_schema()
+    it = iter(batches)
+    try:
+        first = next(it)
+    except StopIteration:
+        return
+    key = "term_id" if "term_id" in first.schema.names else "term"
+    packed = "docfn" in first.schema.names
+    schema = _postings_arrow_schema(key)
+
+    def id_fn_cols(batch):
+        if packed:
+            dfn = batch.column("docfn").to_numpy(zero_copy_only=False)
+            return dfn >> 8, dfn & 0xFF
+        return (
+            batch.column("doc_id").to_numpy(zero_copy_only=False),
+            batch.column("fieldnorm").to_numpy(zero_copy_only=False),
+        )
 
     def emit_legacy(batch: "pa.RecordBatch"):
-        terms = batch.column("term").to_pylist()
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        terms = batch.column(key).to_pylist()
+        ids, fns = id_fn_cols(batch)
         runs = ids >> RUN_SHIFT
         tfs = (
             batch.column("tf").to_numpy(zero_copy_only=False)
             if "tf" in batch.schema.names
             else np.ones(len(ids), dtype=np.int64)
         )
-        fns = batch.column("fieldnorm").to_numpy(zero_copy_only=False)
         n_rows = len(ids)
         terms_np = np.asarray(terms, dtype=object)
         gchange = np.empty(n_rows, dtype=bool)
@@ -259,7 +292,7 @@ def _postings_arrow(batches, codec: str = "bitpack", out: str = "arrow"):
             blocks_out.append(build_blocks(gi, gt, gf, codec))
         return pa.RecordBatch.from_arrays(
             [
-                pa.array([terms_np[s] for s in starts], pa.string()),
+                pa.array([terms_np[s] for s in starts], schema.field(0).type),
                 pa.array(runs[starts], pa.int64()),
                 pa.array(
                     [sum(b["doc_count"] for b in bl) for bl in blocks_out],
@@ -272,15 +305,14 @@ def _postings_arrow(batches, codec: str = "bitpack", out: str = "arrow"):
 
     def emit(batch: "pa.RecordBatch"):
         n_rows = batch.num_rows
-        t_arr = batch.column("term")
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t_arr = batch.column(key)
+        ids, fns = id_fn_cols(batch)
         runs = ids >> RUN_SHIFT
         tfs = (
             batch.column("tf").to_numpy(zero_copy_only=False)
             if "tf" in batch.schema.names
             else None  # tf=1 per occurrence: segmented sum counts
         )
-        fns = batch.column("fieldnorm").to_numpy(zero_copy_only=False)
         gchange = np.empty(n_rows, dtype=bool)
         gchange[0] = True
         if n_rows > 1:
@@ -351,25 +383,49 @@ def _postings_arrow(batches, codec: str = "bitpack", out: str = "arrow"):
         )
         fn_bytes = cfns.astype(np.uint8).tobytes()
 
-        # 4) assemble payloads (bulk tolist: ~10x cheaper than per-
-        #    element int() casts); skip metadata stays numpy and goes
-        #    straight into the arrow struct arrays below
-        l_cnt = blk_cnt.tolist()
-        l_idb = id_bits.tolist()
-        l_tfb = tf_bits.tolist()
-        l_ido = id_off.tolist()
-        l_idl = id_len.tolist()
-        l_tfo = tf_off.tolist()
-        l_tfl = tf_len.tolist()
-        l_bs = blk_start.tolist()
-        l_be = blk_end.tolist()
-        all_payloads = [
-            bytes((l_idb[i], l_tfb[i], l_cnt[i] - 1))
-            + id_pack[l_ido[i]: l_ido[i] + l_idl[i]]
-            + tf_pack[l_tfo[i]: l_tfo[i] + l_tfl[i]]
-            + fn_bytes[l_bs[i]: l_be[i]]
-            for i in range(total_blk)
-        ]
+        # 4) assemble payloads VECTORIZED: one flat uint8 buffer +
+        #    per-block offsets, filled by three variable-length
+        #    gather/scatters (the repeat/cumsum index trick) — the
+        #    per-block Python loop this replaces (bytes() + three
+        #    slice concats per block) was the kernel's last scalar
+        #    hotspot (~1 us x millions of blocks per build); the
+        #    arrow binary column is then built ZERO-COPY over the
+        #    buffer instead of re-copying a list of bytes objects.
+        fn_arr = cfns.astype(np.uint8)
+        fn_len = blk_cnt  # one fieldnorm byte per collapsed posting
+        pay_len = 3 + id_len + tf_len + fn_len
+        pay_off = np.concatenate(([0], np.cumsum(pay_len)))
+        buf = np.empty(int(pay_off[-1]), dtype=np.uint8)
+        head = pay_off[:-1]
+        buf[head] = id_bits
+        buf[head + 1] = tf_bits
+        buf[head + 2] = blk_cnt - 1
+
+        def _scatter(dst_base, src, src_off, seg_len):
+            total = int(seg_len.sum())
+            if not total:
+                return
+            within = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(seg_len)[:-1])), seg_len
+            )
+            buf[np.repeat(dst_base, seg_len) + within] = src[
+                np.repeat(src_off, seg_len) + within
+            ]
+
+        id_pack_arr = np.frombuffer(id_pack, dtype=np.uint8)
+        tf_pack_arr = np.frombuffer(tf_pack, dtype=np.uint8)
+        _scatter(head + 3, id_pack_arr, id_off, id_len)
+        _scatter(head + 3 + id_len, tf_pack_arr, tf_off, tf_len)
+        _scatter(head + 3 + id_len + tf_len, fn_arr, blk_start, fn_len)
+        payload_arr = pa.Array.from_buffers(
+            pa.binary(),
+            total_blk,
+            [
+                None,
+                pa.py_buffer(pay_off.astype(np.int32).tobytes()),
+                pa.py_buffer(buf.tobytes()),
+            ],
+        )
         # nested blocks column built directly as arrow (ListArray of
         # StructArray) — no pandas object column, no per-row dicts
         struct_arr = pa.StructArray.from_arrays(
@@ -378,7 +434,7 @@ def _postings_arrow(batches, codec: str = "bitpack", out: str = "arrow"):
                 pa.array(blk_cnt.astype(np.int32)),
                 pa.array(bmt.astype(np.int32)),
                 pa.array(bmn.astype(np.int32)),
-                pa.array(all_payloads, pa.binary()),
+                payload_arr,
             ],
             names=[
                 "last_doc_id", "doc_count", "block_max_tf",
@@ -399,8 +455,46 @@ def _postings_arrow(batches, codec: str = "bitpack", out: str = "arrow"):
             schema=schema,
         )
 
+    if presort:
+        # the shuffle hands us an UNSORTED hash partition; with
+        # fixed-width int columns a numpy lexsort is several times
+        # cheaper than the JVM row sorter the plan would otherwise run
+        # between shuffle read and the bridge. Buffered memory = one
+        # shuffle partition of ints (~16-20 B/row) — the same order
+        # Spark's sorter would hold before spilling; size
+        # spark.sql.shuffle.partitions so partitions stay ~100 MB.
+        assert key == "term_id" and packed, "presort is the ids path"
+        parts = [b for b in [first, *it] if b.num_rows]
+        if not parts:
+            return
+        tids = np.concatenate(
+            [b.column("term_id").to_numpy(zero_copy_only=False) for b in parts]
+        )
+        dfns = np.concatenate(
+            [b.column("docfn").to_numpy(zero_copy_only=False) for b in parts]
+        )
+        order = np.lexsort((dfns, tids))
+        arrays = [
+            pa.array(tids[order], pa.int64()),
+            pa.array(dfns[order], pa.int64()),
+        ]
+        names = ["term_id", "docfn"]
+        if "tf" in first.schema.names:
+            tfs = np.concatenate(
+                [b.column("tf").to_numpy(zero_copy_only=False) for b in parts]
+            )
+            arrays.append(pa.array(tfs[order].astype(np.int32), pa.int32()))
+            names.append("tf")
+        out_batch = emit(pa.RecordBatch.from_arrays(arrays, names=names))
+        yield out_batch.to_pandas() if out_pandas else out_batch
+        return
+
+    def _all_batches():
+        yield first
+        yield from it
+
     carry = None
-    for batch in batches:
+    for batch in _all_batches():
         if carry is not None and carry.num_rows:
             tbl = pa.Table.from_batches([carry, batch]).combine_chunks()
             bs = tbl.to_batches()
@@ -415,8 +509,8 @@ def _postings_arrow(batches, codec: str = "bitpack", out: str = "arrow"):
         n_rows = batch.num_rows
         if n_rows == 0:
             continue
-        t_arr = batch.column("term")
-        runs = batch.column("doc_id").to_numpy(zero_copy_only=False) >> RUN_SHIFT
+        t_arr = batch.column(key)
+        runs = id_fn_cols(batch)[0] >> RUN_SHIFT
         gchange = np.zeros(n_rows, dtype=bool)
         if n_rows > 1:
             term_neq = pc.not_equal(
@@ -569,10 +663,24 @@ def build_segment_dataframes(
         ["doc_id"]
     )
 
-    flat = tokens.filter(F.col("term").isNotNull()).select(
-        "term", "doc_id", "tf", "fieldnorm"
+    # the scanner kernel emits term strings (it runs the typed-class
+    # state machine in Python anyway), but the POST-shuffle stream is
+    # dictionary-encoded like the words path: hash to term_id here
+    # (JVM expr over the persisted kernel output) so the big sorted
+    # bridge into the posting kernel ships ints only
+    nonnull = tokens.filter(F.col("term").isNotNull())
+    termmap = (
+        nonnull.select("term")
+        .distinct()
+        .withColumn("term_id", F.xxhash64("term"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return postings_from_flat(flat, n_buckets, codec), doclen
+    if persisted is not None:
+        persisted.append(termmap)
+    flat = nonnull.select(
+        F.xxhash64("term").alias("term_id"), "doc_id", "tf", "fieldnorm"
+    )
+    return postings_from_flat_ids(flat, termmap, n_buckets, codec), doclen
 
 
 def _words_segment_dataframes(
@@ -609,16 +717,70 @@ def _words_segment_dataframes(
     # every doc appears, incl. ones tokenizing to nothing (doc_len 0)
     doclen = base.select("doc_id", "doc_len", "fieldnorm")
 
-    tokens = base.select(
-        "doc_id", "fieldnorm", F.explode("toks").alias("term")
-    )
+    raw = base.select("doc_id", "fieldnorm", F.explode("toks").alias("raw"))
     if cfg.do_stem:
-        tokens = tokens.withColumn("term", _stem_udf(cfg)("term"))
+        # stem the DISTINCT raw vocabulary, not every occurrence: the
+        # (raw -> term_id) map is Zipf-small (one UDF call per unique
+        # raw token instead of one per token occurrence), and the
+        # occurrence stream then picks up its term_id via a JVM
+        # broadcast hash join — the stemmer leaves the hot path
+        # entirely, and with xxhash64 downstream no term STRING ever
+        # crosses the Arrow bridge (see postings_from_flat_ids)
+        rawmap = (
+            base.select(F.explode("toks").alias("raw"))
+            .distinct()
+            .withColumn("term", _stem_udf(cfg)("raw"))
+            .withColumn("term_id", F.xxhash64("term"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if persisted is not None:
+            persisted.append(rawmap)
+        # ONE vocab-sized job materializes the cache, sizes the join
+        # AND runs the collision check postings_from_flat_ids would
+        # otherwise pay a second job for
+        stats = rawmap.agg(
+            F.count("*").alias("n_raw"),
+            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("term_id").alias("n_ids"),
+        ).collect()[0]
+        if stats["n_terms"] != stats["n_ids"]:
+            raise ValueError(
+                f"term_id collision: {stats['n_terms']} distinct terms "
+                f"hash to {stats['n_ids']} distinct xxhash64 ids; "
+                f"rebuild via the string-keyed postings_from_flat path"
+            )
+        n_raw = stats["n_raw"]
+        n_terms = stats["n_ids"]
+        termmap = rawmap.select("term", "term_id").distinct()
+        if n_raw <= STEM_MAP_BROADCAST_MAX:
+            tokens = raw.join(
+                F.broadcast(rawmap.select("raw", "term_id")), "raw"
+            )
+        else:  # pragma: no cover — vocab beyond local-test scale
+            # per-occurrence stem (the pre-round-5 shape), still
+            # hashed JVM-side so only ints cross the bridge
+            tokens = raw.withColumn(
+                "term_id", F.xxhash64(_stem_udf(cfg)("raw"))
+            )
+    else:
+        n_terms = None
+        tokens = raw.withColumn("term_id", F.xxhash64("raw"))
+        termmap = (
+            base.select(F.explode("toks").alias("term"))
+            .distinct()
+            .withColumn("term_id", F.xxhash64("term"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if persisted is not None:
+            persisted.append(termmap)
     # no tf column: each row is one occurrence (tf=1) and the block
     # kernel's segmented sum counts them — why ship 4 constant
     # bytes/row through the arrow bridge
-    flat = tokens.select("term", "doc_id", "fieldnorm")
-    return postings_from_flat(flat, n_buckets, codec), doclen
+    flat = tokens.select("term_id", "doc_id", "fieldnorm")
+    return (
+        postings_from_flat_ids(flat, termmap, n_buckets, codec, n_terms),
+        doclen,
+    )
 
 
 def postings_from_flat(
@@ -659,6 +821,130 @@ def postings_from_flat(
         .mapInArrow(rows, _POSTINGS_ROW_SCHEMA)
         .withColumn("bucket", term_bucket_expr(F.col("term"), n_buckets))
     )
+
+
+#: past this many distinct terms the term-string join-back switches
+#: from a broadcast to a shuffle hash join (a 100 TB web corpus can
+#: carry a vocabulary too big for the driver to broadcast)
+TERMMAP_BROADCAST_MAX = 20_000_000
+
+#: past this many distinct RAW tokens the (raw -> term_id) stem map is
+#: too big to broadcast onto the occurrence stream; fall back to the
+#: per-occurrence stem UDF (still emitting int64 ids over the bridge)
+STEM_MAP_BROADCAST_MAX = 8_000_000
+
+#: arrow batch rows for the postings-kernel action (see
+#: postings_from_flat_ids) — safe because its rows are fixed-width
+BUILD_ARROW_BATCH = 262_144
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _arrow_batch(spark: SparkSession, n):
+    """Temporarily override arrow.maxRecordsPerBatch for one action."""
+    if not n:
+        yield
+        return
+    k = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(k)
+    spark.conf.set(k, str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set(k, old)
+
+
+def postings_from_flat_ids(
+    flat: DataFrame,
+    termmap: DataFrame,
+    n_buckets: int,
+    codec: str = "bitpack",
+    n_terms: int | None = None,
+) -> DataFrame:
+    """Dictionary-encoded ``postings_from_flat`` — the bulk build's
+    hot path (round-5 headline: close the single-node build constant).
+
+    ``flat``: (term_id, doc_id[, tf], fieldnorm) with ``term_id =
+    xxhash64(term)`` computed JVM-side; ``termmap``: the distinct
+    (term, term_id) map (caller persists it — it is evaluated twice:
+    collision check + join-back). The sorted token stream crosses the
+    JVM->Python Arrow bridge as FIXED-WIDTH INTS ONLY: the round-4
+    decomposition measured the JVM ArrowWriter serialization of the
+    string term column at ~26 s of the 58 s 2M-page postings stage
+    (8 cores) — more than shuffle+sort+encode combined; an int64 id
+    column removes it entirely (and turns the shuffle sort into long
+    compares instead of UTF8). The kernel's output (one row per
+    (term, run) carrying the encoded blocks — orders of magnitude
+    fewer rows than the token stream) gets its term string back from
+    a vocab-sized JVM-side join, so the on-disk segment format is
+    IDENTICAL to the string path: query side, merge, dictionary are
+    untouched.
+
+    xxhash64 collisions would silently merge two terms' postings, so
+    the termmap is checked up front (count vs countDistinct — one
+    vocab-sized agg job; collision probability ~n^2/2^65, ~3e-4 at
+    100M terms). A detected collision fails the build loudly; the
+    string-keyed ``postings_from_flat`` remains as the fallback path.
+    ``n_terms``: pass the already-verified distinct-term count to skip
+    that agg (the caller folded the check into its vocab job).
+    """
+    spark = flat.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_terms is None:
+        chk = termmap.agg(
+            F.count("*").alias("n"), F.countDistinct("term_id").alias("nid")
+        ).collect()[0]
+        if chk["n"] != chk["nid"]:
+            raise ValueError(
+                f"term_id collision: {chk['n']} distinct terms hash to "
+                f"{chk['nid']} distinct xxhash64 ids; rebuild this corpus "
+                f"via the string-keyed postings_from_flat path"
+            )
+        n_terms = chk["n"]
+
+    def rows(batches):
+        yield from _postings_arrow(batches, codec, presort=True)
+
+    # pack (doc_id, fieldnorm) into ONE int64 — docfn = doc_id << 8 |
+    # fieldnorm (fieldnorm is 8 bits by construction, doc_id < 2^55):
+    # the ArrowWriter bridge cost is per-CELL, and dropping a column
+    # from the 36M-row stream measured ~15% off the whole stage.
+    # Sorting by (term_id, docfn) == (term_id, doc_id) since fieldnorm
+    # is constant per doc; run = docfn >> (RUN_SHIFT + 8).
+    cols = [
+        F.col("term_id"),
+        F.shiftleft(F.col("doc_id"), 8)
+        .bitwiseOR(F.col("fieldnorm").cast("long"))
+        .alias("docfn"),
+    ]
+    if "tf" in flat.columns:
+        cols.append(F.col("tf").cast("int").alias("tf"))
+    slim = flat.select(*cols)
+    # NO sortWithinPartitions: the kernel presorts each partition in
+    # numpy (see _postings_arrow presort) — on int columns that beats
+    # the JVM row sorter and lets the ArrowWriter stream straight off
+    # the shuffle reader
+    posting_rows = slim.repartition(
+        n_shuffle, "term_id", F.shiftright("docfn", RUN_SHIFT + 8)
+    ).mapInArrow(rows, _POSTINGS_ROW_SCHEMA_IDS)
+    tm = termmap.select("term_id", "term")
+    if n_terms <= TERMMAP_BROADCAST_MAX:
+        joined = posting_rows.join(F.broadcast(tm), "term_id")
+    else:  # pragma: no cover — vocab beyond local-test scale
+        joined = posting_rows.join(tm.hint("SHUFFLE_HASH"), "term_id")
+    out = joined.withColumn(
+        "bucket", term_bucket_expr(F.col("term"), n_buckets)
+    ).select("term", "run", "df_run", "blocks", "bucket")
+    # every Python stage under this plan sees narrow fixed-width rows
+    # (int columns; vocab-sized strings), so 4x-larger Arrow batches
+    # are safe and shave the per-batch bridge overhead (measured
+    # ~1.5 s on the 1M-page build); write_segment scopes the conf to
+    # the postings action via this marker so chunky-row kernels
+    # elsewhere (doc text, posting payloads) keep the default.
+    out._pgts_arrow_batch = BUILD_ARROW_BATCH
+    return out
 
 
 #: physical layout = the dictionary's binary-searchability: cluster
@@ -753,7 +1039,10 @@ class IndexWriter:
 
         base = self.index_dir
         d = timed("postings_sec")
-        self.store.write(postings, "postings", seg_id, **POSTINGS_WRITE_OPTS)
+        with _arrow_batch(
+            postings.sparkSession, getattr(postings, "_pgts_arrow_batch", None)
+        ):
+            self.store.write(postings, "postings", seg_id, **POSTINGS_WRITE_OPTS)
         d()
         # the tail tables are independent chains once postings are on
         # disk — submit them from threads so their (fixed, core-count-
