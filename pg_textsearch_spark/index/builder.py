@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 from pyspark.sql.functions import pandas_udf
 
+from pg_textsearch_spark import native
 from pg_textsearch_spark.functions import bm25
 from pg_textsearch_spark.functions.fieldnorm import encode_fieldnorm
 from pg_textsearch_spark.functions.tokenizer import get_config
@@ -120,11 +121,22 @@ def _pack_groups(vals: np.ndarray, starts, cnt, widths) -> tuple:
     group g. Each group's stream is byte-aligned (exactly
     ``(cnt*width+7)//8`` bytes), bit order little — byte-identical to
     ``codec._pack_bits`` / ``_compress_small`` on the same input.
-    Returns (packed_bytes, byte_offsets, byte_lens): group g's stream
-    is ``packed_bytes[byte_offsets[g] : byte_offsets[g]+byte_lens[g]]``.
+    Returns (packed: uint8 ndarray, byte_offsets, byte_lens): group
+    g's stream is ``packed[byte_offsets[g] : byte_offsets[g] +
+    byte_lens[g]]``.
+
+    Fast path: the compiled one-pass loop in ``native`` (byte-identical,
+    pinned by test_codec) — the vectorized form below allocates per-BIT
+    index arrays (~w x the data) and fresh large allocations are the
+    dominant cost on write-bandwidth-poor hosts.
     """
     byte_lens = (cnt * widths + 7) // 8
     byte_offs = np.concatenate(([0], np.cumsum(byte_lens)))
+    packed_native = native.pack_groups_native(
+        vals, starts, cnt, widths, byte_offs[:-1], int(byte_offs[-1])
+    )
+    if packed_native is not None:
+        return packed_native, byte_offs[:-1], byte_lens
     total_bits = int(byte_offs[-1]) * 8
     flat = np.zeros(total_bits, dtype=np.uint8)
     # per-value global bit offsets: group base + position*width
@@ -143,7 +155,7 @@ def _pack_groups(vals: np.ndarray, starts, cnt, widths) -> tuple:
         bits = ((u[sel][:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
         positions = (bit_off[sel][:, None] + np.arange(w)).ravel()
         flat[positions] = bits.ravel()
-    packed = np.packbits(flat, bitorder="little").tobytes()
+    packed = np.packbits(flat, bitorder="little")
     return packed, byte_offs[:-1], byte_lens
 
 
@@ -381,8 +393,6 @@ def _postings_arrow(
         tf_pack, tf_off, tf_len = _pack_groups(
             ctf, blk_start, blk_cnt, tf_bits
         )
-        fn_bytes = cfns.astype(np.uint8).tobytes()
-
         # 4) assemble payloads VECTORIZED: one flat uint8 buffer +
         #    per-block offsets, filled by three variable-length
         #    gather/scatters (the repeat/cumsum index trick) — the
@@ -395,36 +405,45 @@ def _postings_arrow(
         fn_len = blk_cnt  # one fieldnorm byte per collapsed posting
         pay_len = 3 + id_len + tf_len + fn_len
         pay_off = np.concatenate(([0], np.cumsum(pay_len)))
-        buf = np.empty(int(pay_off[-1]), dtype=np.uint8)
+        id_pack_arr = np.asarray(id_pack, dtype=np.uint8)
+        tf_pack_arr = np.asarray(tf_pack, dtype=np.uint8)
         head = pay_off[:-1]
-        buf[head] = id_bits
-        buf[head + 1] = tf_bits
-        buf[head + 2] = blk_cnt - 1
+        buf = native.assemble_payloads_native(
+            id_bits, tf_bits, blk_cnt,
+            id_pack_arr, id_off, id_len,
+            tf_pack_arr, tf_off, tf_len,
+            fn_arr, blk_start,
+            head, int(pay_off[-1]),
+        )
+        if buf is None:
+            buf = np.empty(int(pay_off[-1]), dtype=np.uint8)
+            buf[head] = id_bits
+            buf[head + 1] = tf_bits
+            buf[head + 2] = blk_cnt - 1
 
-        def _scatter(dst_base, src, src_off, seg_len):
-            total = int(seg_len.sum())
-            if not total:
-                return
-            within = np.arange(total) - np.repeat(
-                np.concatenate(([0], np.cumsum(seg_len)[:-1])), seg_len
-            )
-            buf[np.repeat(dst_base, seg_len) + within] = src[
-                np.repeat(src_off, seg_len) + within
-            ]
+            def _scatter(dst_base, src, src_off, seg_len):
+                total = int(seg_len.sum())
+                if not total:
+                    return
+                within = np.arange(total) - np.repeat(
+                    np.concatenate(([0], np.cumsum(seg_len)[:-1])), seg_len
+                )
+                buf[np.repeat(dst_base, seg_len) + within] = src[
+                    np.repeat(src_off, seg_len) + within
+                ]
 
-        id_pack_arr = np.frombuffer(id_pack, dtype=np.uint8)
-        tf_pack_arr = np.frombuffer(tf_pack, dtype=np.uint8)
-        _scatter(head + 3, id_pack_arr, id_off, id_len)
-        _scatter(head + 3 + id_len, tf_pack_arr, tf_off, tf_len)
-        _scatter(head + 3 + id_len + tf_len, fn_arr, blk_start, fn_len)
+            _scatter(head + 3, id_pack_arr, id_off, id_len)
+            _scatter(head + 3 + id_len, tf_pack_arr, tf_off, tf_len)
+            _scatter(head + 3 + id_len + tf_len, fn_arr, blk_start, fn_len)
+        # zero-copy: pa.py_buffer holds a reference to the numpy
+        # arrays' memory (no .tobytes() re-copy — payload buffers run
+        # hundreds of MB per partition and fresh-page writes are the
+        # expensive resource on this host class)
+        pay_off32 = np.ascontiguousarray(pay_off, dtype=np.int32)
         payload_arr = pa.Array.from_buffers(
             pa.binary(),
             total_blk,
-            [
-                None,
-                pa.py_buffer(pay_off.astype(np.int32).tobytes()),
-                pa.py_buffer(buf.tobytes()),
-            ],
+            [None, pa.py_buffer(pay_off32), pa.py_buffer(buf)],
         )
         # nested blocks column built directly as arrow (ListArray of
         # StructArray) — no pandas object column, no per-row dicts
@@ -467,23 +486,39 @@ def _postings_arrow(
         parts = [b for b in [first, *it] if b.num_rows]
         if not parts:
             return
-        tids = np.concatenate(
-            [b.column("term_id").to_numpy(zero_copy_only=False) for b in parts]
-        )
-        dfns = np.concatenate(
-            [b.column("docfn").to_numpy(zero_copy_only=False) for b in parts]
-        )
-        order = np.lexsort((dfns, tids))
-        arrays = [
-            pa.array(tids[order], pa.int64()),
-            pa.array(dfns[order], pa.int64()),
-        ]
-        names = ["term_id", "docfn"]
-        if "tf" in first.schema.names:
-            tfs = np.concatenate(
-                [b.column("tf").to_numpy(zero_copy_only=False) for b in parts]
+        has_tf = "tf" in first.schema.names
+        n = sum(b.num_rows for b in parts)
+        # concatenate into worker-cached scratch (warm pages) — a
+        # fresh np.concatenate per partition pays this host class's
+        # fresh-page write tax on ~100 MB
+        tids = native._scratch("cat_tid", n)
+        dfns = native._scratch("cat_dfn", n)
+        tfs = native._scratch("cat_tf", n) if has_tf else None
+        at = 0
+        for b in parts:
+            m = b.num_rows
+            tids[at:at + m] = b.column("term_id").to_numpy(
+                zero_copy_only=False
             )
-            arrays.append(pa.array(tfs[order].astype(np.int32), pa.int32()))
+            dfns[at:at + m] = b.column("docfn").to_numpy(
+                zero_copy_only=False
+            )
+            if has_tf:
+                tfs[at:at + m] = b.column("tf").to_numpy(
+                    zero_copy_only=False
+                )
+            at += m
+        if native.radix_sort_native(tids, dfns, tfs):
+            pass  # in-place, grouped by term_id, doc-ascending
+        else:
+            order = np.lexsort((dfns, tids))
+            tids, dfns = tids[order], dfns[order]
+            if has_tf:
+                tfs = tfs[order]
+        arrays = [pa.array(tids, pa.int64()), pa.array(dfns, pa.int64())]
+        names = ["term_id", "docfn"]
+        if has_tf:
+            arrays.append(pa.array(tfs.astype(np.int32), pa.int32()))
             names.append("tf")
         out_batch = emit(pa.RecordBatch.from_arrays(arrays, names=names))
         yield out_batch.to_pandas() if out_pandas else out_batch
@@ -680,7 +715,13 @@ def build_segment_dataframes(
     flat = nonnull.select(
         F.xxhash64("term").alias("term_id"), "doc_id", "tf", "fieldnorm"
     )
-    return postings_from_flat_ids(flat, termmap, n_buckets, codec), doclen
+    return (
+        postings_from_flat_ids(
+            flat, termmap, n_buckets, codec,
+            validate=_collision_check(termmap),
+        ),
+        doclen,
+    )
 
 
 def _words_segment_dataframes(
@@ -722,10 +763,13 @@ def _words_segment_dataframes(
         # stem the DISTINCT raw vocabulary, not every occurrence: the
         # (raw -> term_id) map is Zipf-small (one UDF call per unique
         # raw token instead of one per token occurrence), and the
-        # occurrence stream then picks up its term_id via a JVM
-        # broadcast hash join — the stemmer leaves the hot path
-        # entirely, and with xxhash64 downstream no term STRING ever
-        # crosses the Arrow bridge (see postings_from_flat_ids)
+        # occurrence stream then picks up its term_id via a JVM hash
+        # join — the stemmer leaves the hot path entirely, and with
+        # xxhash64 downstream no term STRING ever crosses the Arrow
+        # bridge (see postings_from_flat_ids). NO join hint: AQE sees
+        # the materialized vocab stage's size and picks broadcast
+        # (every realistic vocab) vs shuffle (a 100 TB corpus's raw
+        # vocabulary can outgrow the driver) at runtime.
         rawmap = (
             base.select(F.explode("toks").alias("raw"))
             .distinct()
@@ -735,35 +779,10 @@ def _words_segment_dataframes(
         )
         if persisted is not None:
             persisted.append(rawmap)
-        # ONE vocab-sized job materializes the cache, sizes the join
-        # AND runs the collision check postings_from_flat_ids would
-        # otherwise pay a second job for
-        stats = rawmap.agg(
-            F.count("*").alias("n_raw"),
-            F.countDistinct("term").alias("n_terms"),
-            F.countDistinct("term_id").alias("n_ids"),
-        ).collect()[0]
-        if stats["n_terms"] != stats["n_ids"]:
-            raise ValueError(
-                f"term_id collision: {stats['n_terms']} distinct terms "
-                f"hash to {stats['n_ids']} distinct xxhash64 ids; "
-                f"rebuild via the string-keyed postings_from_flat path"
-            )
-        n_raw = stats["n_raw"]
-        n_terms = stats["n_ids"]
         termmap = rawmap.select("term", "term_id").distinct()
-        if n_raw <= STEM_MAP_BROADCAST_MAX:
-            tokens = raw.join(
-                F.broadcast(rawmap.select("raw", "term_id")), "raw"
-            )
-        else:  # pragma: no cover — vocab beyond local-test scale
-            # per-occurrence stem (the pre-round-5 shape), still
-            # hashed JVM-side so only ints cross the bridge
-            tokens = raw.withColumn(
-                "term_id", F.xxhash64(_stem_udf(cfg)("raw"))
-            )
+        tokens = raw.join(rawmap.select("raw", "term_id"), "raw")
+        check_df = rawmap
     else:
-        n_terms = None
         tokens = raw.withColumn("term_id", F.xxhash64("raw"))
         termmap = (
             base.select(F.explode("toks").alias("term"))
@@ -773,12 +792,16 @@ def _words_segment_dataframes(
         )
         if persisted is not None:
             persisted.append(termmap)
+        check_df = termmap
     # no tf column: each row is one occurrence (tf=1) and the block
     # kernel's segmented sum counts them — why ship 4 constant
     # bytes/row through the arrow bridge
     flat = tokens.select("term_id", "doc_id", "fieldnorm")
     return (
-        postings_from_flat_ids(flat, termmap, n_buckets, codec, n_terms),
+        postings_from_flat_ids(
+            flat, termmap, n_buckets, codec,
+            validate=_collision_check(check_df),
+        ),
         doclen,
     )
 
@@ -823,19 +846,37 @@ def postings_from_flat(
     )
 
 
-#: past this many distinct terms the term-string join-back switches
-#: from a broadcast to a shuffle hash join (a 100 TB web corpus can
-#: carry a vocabulary too big for the driver to broadcast)
-TERMMAP_BROADCAST_MAX = 20_000_000
-
-#: past this many distinct RAW tokens the (raw -> term_id) stem map is
-#: too big to broadcast onto the occurrence stream; fall back to the
-#: per-occurrence stem UDF (still emitting int64 ids over the bridge)
-STEM_MAP_BROADCAST_MAX = 8_000_000
-
 #: arrow batch rows for the postings-kernel action (see
 #: postings_from_flat_ids) — safe because its rows are fixed-width
 BUILD_ARROW_BATCH = 262_144
+
+
+def _collision_check(termmap: DataFrame):
+    """Deferred xxhash64-collision check over a (term[, raw], term_id)
+    map: a collision would silently merge two terms' postings, so the
+    build must fail loudly. Returned as a callable so write_segment can
+    run it CONCURRENTLY with the postings action (it shares the
+    persisted vocab cache — Spark's CacheManager per-partition loading
+    locks make the race compute-once) and still fail before the
+    manifest commit. Collision probability ~n^2/2^65 (~3e-4 at 100M
+    terms); on detection, rebuild via the string-keyed
+    ``postings_from_flat`` path.
+    """
+
+    def check():
+        row = termmap.agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("term_id").alias("n_ids"),
+        ).collect()[0]
+        if row["n_terms"] != row["n_ids"]:
+            raise ValueError(
+                f"term_id collision: {row['n_terms']} distinct terms "
+                f"hash to {row['n_ids']} distinct xxhash64 ids; rebuild "
+                f"this corpus via the string-keyed postings_from_flat "
+                f"path"
+            )
+
+    return check
 
 
 from contextlib import contextmanager
@@ -861,7 +902,7 @@ def postings_from_flat_ids(
     termmap: DataFrame,
     n_buckets: int,
     codec: str = "bitpack",
-    n_terms: int | None = None,
+    validate=None,
 ) -> DataFrame:
     """Dictionary-encoded ``postings_from_flat`` — the bulk build's
     hot path (round-5 headline: close the single-node build constant).
@@ -883,26 +924,18 @@ def postings_from_flat_ids(
     untouched.
 
     xxhash64 collisions would silently merge two terms' postings, so
-    the termmap is checked up front (count vs countDistinct — one
-    vocab-sized agg job; collision probability ~n^2/2^65, ~3e-4 at
-    100M terms). A detected collision fails the build loudly; the
-    string-keyed ``postings_from_flat`` remains as the fallback path.
-    ``n_terms``: pass the already-verified distinct-term count to skip
-    that agg (the caller folded the check into its vocab job).
+    every caller carries a collision check (see ``_collision_check``) —
+    run off the critical path: ``validate`` (defaulting to a check over
+    ``termmap``) is attached to the returned plan as ``_pgts_validate``
+    and executed by ``write_segment`` on a thread concurrent with the
+    postings action, failing the build before its manifest commit. A
+    detected collision fails loudly; the string-keyed
+    ``postings_from_flat`` remains as the fallback path.
     """
     spark = flat.sparkSession
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if n_terms is None:
-        chk = termmap.agg(
-            F.count("*").alias("n"), F.countDistinct("term_id").alias("nid")
-        ).collect()[0]
-        if chk["n"] != chk["nid"]:
-            raise ValueError(
-                f"term_id collision: {chk['n']} distinct terms hash to "
-                f"{chk['nid']} distinct xxhash64 ids; rebuild this corpus "
-                f"via the string-keyed postings_from_flat path"
-            )
-        n_terms = chk["n"]
+    if validate is None:
+        validate = _collision_check(termmap)
 
     def rows(batches):
         yield from _postings_arrow(batches, codec, presort=True)
@@ -929,11 +962,12 @@ def postings_from_flat_ids(
     posting_rows = slim.repartition(
         n_shuffle, "term_id", F.shiftright("docfn", RUN_SHIFT + 8)
     ).mapInArrow(rows, _POSTINGS_ROW_SCHEMA_IDS)
-    tm = termmap.select("term_id", "term")
-    if n_terms <= TERMMAP_BROADCAST_MAX:
-        joined = posting_rows.join(F.broadcast(tm), "term_id")
-    else:  # pragma: no cover — vocab beyond local-test scale
-        joined = posting_rows.join(tm.hint("SHUFFLE_HASH"), "term_id")
+    # term-string join-back: vocab-sized build side, unhinted — AQE
+    # sees the materialized termmap stage's size and broadcasts every
+    # realistic vocabulary; a 100 TB-corpus vocab past the driver's
+    # budget degrades to a shuffle join on the (already term_id-keyed)
+    # posting rows, not the token stream
+    joined = posting_rows.join(termmap.select("term_id", "term"), "term_id")
     out = joined.withColumn(
         "bucket", term_bucket_expr(F.col("term"), n_buckets)
     ).select("term", "run", "df_run", "blocks", "bucket")
@@ -944,6 +978,7 @@ def postings_from_flat_ids(
     # the postings action via this marker so chunky-row kernels
     # elsewhere (doc text, posting payloads) keep the default.
     out._pgts_arrow_batch = BUILD_ARROW_BATCH
+    out._pgts_validate = validate
     return out
 
 
@@ -1038,6 +1073,15 @@ class IndexWriter:
             return done
 
         base = self.index_dir
+        # the deferred vocab validation (xxhash64 collision check) runs
+        # on its own thread CONCURRENT with the postings action — it
+        # shares the persisted vocab cache, and its result gates the
+        # manifest commit below
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        validate = getattr(postings, "_pgts_validate", None)
+        val_pool = _TPE(1) if validate is not None else None
+        val_f = val_pool.submit(validate) if val_pool is not None else None
         d = timed("postings_sec")
         with _arrow_batch(
             postings.sparkSession, getattr(postings, "_pgts_arrow_batch", None)
@@ -1089,6 +1133,9 @@ class IndexWriter:
             f_dict = pool.submit(write_dict)
             stats = f_stats.result()
             f_key.result()
+        if val_f is not None:
+            val_f.result()  # raises (collision) before the commit
+            val_pool.shutdown()
             f_dict.result()
 
         manifest = self.read_manifest()

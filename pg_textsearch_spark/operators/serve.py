@@ -589,11 +589,22 @@ class ServePool:
         for p in self._procs:
             p.start()
         self._next_qid = 0
+        #: in-flight requests per worker — the load signal for
+        #: two-choice routing (dispatch increments, drain decrements)
+        self._outstanding = [0] * self.n_workers
+        self._qid_worker: dict[int, int] = {}
 
     def route(self, query: str) -> int:
-        return route_query(
+        """Two-choice sticky routing: the less-loaded of the query's
+        top-2 head-term buckets (primary on ties — cache affinity).
+        Skew under a head-heavy mix is bounded without losing
+        stickiness: both candidates are deterministic per term."""
+        p, s = route_query_choices(
             self._local, query, self.n_workers, _serving=self._router
         )
+        if s != p and self._outstanding[s] < self._outstanding[p]:
+            return s
+        return p
 
     def search(self, query: str, k: int = 10):
         """Blocking single query -> list[(rank, doc_id, score)]."""
@@ -604,11 +615,22 @@ class ServePool:
         in input order. Per-worker execution is serial (one process,
         one cache); across workers it is parallel."""
         pending = {}
+        shard_counts = [0] * self.n_workers
         for i, q in enumerate(queries):
             qid = self._next_qid
             self._next_qid += 1
+            w = self.route(q)
+            shard_counts[w] += 1
             pending[qid] = i
-            self._req_qs[self.route(q)].put((qid, q, int(k)))
+            # pool-level qid->worker map so the load counter is
+            # decremented even when a result is drained as "stale"
+            # by a LATER batch (caller abandoned this one mid-drain)
+            self._qid_worker[qid] = w
+            self._outstanding[w] += 1
+            self._req_qs[w].put((qid, q, int(k)))
+        #: per-worker dispatch counts of the batch just sent —
+        #: observability for the skew bound (bench records max_shard)
+        self.last_shard_counts = shard_counts
         out: list = [None] * len(queries)
         # drain EVERY outstanding qid before raising: workers always
         # answer (a failing query posts an error tuple), so stopping at
@@ -619,6 +641,9 @@ class ServePool:
         first_err = None
         while pending:
             qid, rows, err = self._res_q.get()
+            w = self._qid_worker.pop(qid, None)
+            if w is not None:
+                self._outstanding[w] -= 1
             idx = pending.pop(qid, None)
             if idx is None:
                 continue  # stale result from an abandoned batch
@@ -668,6 +693,33 @@ def route_query(index, query: str, n_workers: int,
         return 0
     head = max(dfs.items(), key=lambda kv: (kv[1], kv[0]))[0]
     return term_bucket(head, n_workers)
+
+
+def route_query_choices(index, query: str, n_workers: int,
+                        _serving: ServingIndex | None = None
+                        ) -> tuple[int, int]:
+    """Two-choice variant of ``route_query``: the buckets of the top-2
+    distinct head terms by df (primary first; both equal for
+    single-term queries). Both candidates are term-deterministic, so a
+    term's postings land in at most TWO workers' caches — a pool that
+    picks the less-loaded candidate bounds routing skew (classic
+    power-of-two-choices) while keeping cache affinity. A head-heavy
+    query mix (everyone querying the same Zipf-head term) routed by
+    ``route_query`` alone sends ~every query to one worker; with two
+    choices the load spreads across that term's two candidate buckets
+    and the OTHER query terms' buckets."""
+    sv = _serving or ServingIndex(index)
+    qtf = tokenize_query(query, index.config)
+    if not qtf:
+        return 0, 0
+    dfs = sv.term_dfs(list(qtf))
+    if not dfs:
+        return 0, 0
+    ranked = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))
+    primary = term_bucket(ranked[0][0], n_workers)
+    if len(ranked) == 1:
+        return primary, primary
+    return primary, term_bucket(ranked[1][0], n_workers)
 
 
 def topk_auto(index, query: str, k: int = 10,

@@ -250,3 +250,36 @@ def test_serve_pool_survives_worker_error(idx):
         # the pool is NOT wedged: a fresh batch still answers correctly
         again = pool.search_many(["alpha beta", "beta"], k=5)
     assert again == good
+
+
+def test_serve_pool_two_choice_bounds_skew(idx):
+    """A head-heavy mix (every query shares the Zipf-head term) must
+    NOT all land on one worker: two-choice routing (less-loaded of the
+    top-2 head-term buckets) bounds max-shard while results stay
+    identical to topk_serve (VERDICT r4 #4)."""
+    from pg_textsearch_spark.operators.serve import (
+        LocalIndex,
+        ServingIndex,
+        ServePool,
+        topk_serve,
+    )
+
+    li = LocalIndex(idx.index_dir)
+    sv = ServingIndex(li)
+    vocab = ["join", "merge", "table", "window", "batch", "stream",
+             "filter", "sort", "query", "vector", "spark", "hash"]
+    dfs = sv.term_dfs(vocab)
+    head = max(dfs, key=lambda t: (dfs[t], t))
+    tails = [t for t in vocab if t != head]
+    queries = [f"{head} {tails[i % len(tails)]}" for i in range(40)]
+    n_workers = 4
+    with ServePool(idx.index_dir, n_workers=n_workers) as pool:
+        got = pool.search_many(queries, k=5)
+        counts = pool.last_shard_counts
+    # every query's primary is bucket(head): single-choice routing
+    # would put all 40 there; the two-choice bound is 1.5x fair share
+    fair = len(queries) / n_workers
+    assert max(counts) <= 1.5 * fair, counts
+    assert sum(counts) == len(queries)
+    for q, rows in zip(queries, got):
+        assert rows == topk_serve(li, q, 5, _serving=sv), q
