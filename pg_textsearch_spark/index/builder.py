@@ -63,6 +63,22 @@ RUN_SHIFT = 13
 
 DEFAULT_N_BUCKETS = 16
 
+#: size gates for the two build-path broadcast joins. Both default to
+#: map sizes a production driver comfortably holds and degrade to the
+#: shuffle plan beyond them — the 100 TB story is the fallback, the
+#: broadcast is the single-node/mid-cluster fast path.
+#: (url -> doc_id) rows broadcastable in assign_doc_ids: at ~130 B/row
+#: 4M rows is ~500 MB driver-side; past that the text side pays one
+#: hash shuffle (the prior default plan).
+BROADCAST_IDS_MAX = int(os.environ.get("PGTS_BROADCAST_IDS_MAX", "4000000"))
+#: (raw -> term_id) vocabulary rows broadcastable in the words build:
+#: vocabularies are Zipf-small (1-2M raws per million web pages);
+#: past the gate the occurrence stream pays the string-keyed shuffle
+#: join it always did.
+BROADCAST_VOCAB_MAX = int(
+    os.environ.get("PGTS_BROADCAST_VOCAB_MAX", "8000000")
+)
+
 
 def term_bucket(term: str, n_buckets: int) -> int:
     """Driver-side bucket of a term; must equal the Spark-side expr."""
@@ -565,6 +581,47 @@ def _postings_arrow(
         yield out.to_pandas() if out_pandas else out
 
 
+def _ids_map(
+    df: DataFrame,
+    key_col: str,
+    out_col: str = "doc_id",
+    persisted: list | None = None,
+) -> tuple[DataFrame, int]:
+    """(key -> dense doc_id) map + key count, WITHOUT the join-back.
+
+    The key-only core of ``assign_doc_ids`` (see its docstring for the
+    shape rationale). Factored out so ``build_index`` can run this
+    job's counts collect on a worker thread CONCURRENTLY with the
+    tokenize/vocabulary materialization — the two touch disjoint
+    columns (keys vs text) and meet only at the doc-level join.
+    Thread-safe: driver-side state is local; the one collect and the
+    tiny createDataFrame are safe off the main thread.
+    """
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    keys = df.select(key_col)  # column-pruned: the scan reads only keys
+    ranged = keys.repartitionByRange(n_parts, F.col(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    if persisted is not None:
+        persisted.append(ranged)
+    counts = {r["_pid"]: r["cnt"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets.append((pid, acc))
+        acc += counts.get(pid, 0)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy(key_col)
+    ids = (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.row_number().over(w) + F.col("_offset") - 1)
+        .drop("_pid", "_offset")
+    )
+    return ids, sum(counts.values())
+
+
 def assign_doc_ids(
     df: DataFrame,
     key_col: str,
@@ -601,34 +658,25 @@ def assign_doc_ids(
     run; pass ``persisted`` (a list the caller unpersists when done) to
     avoid executor-memory creep across many builds in one session.
     """
-    spark = df.sparkSession
-    n_parts = max(spark.sparkContext.defaultParallelism, 1)
-    keys = df.select(key_col)  # column-pruned: the scan reads only keys
-    ranged = keys.repartitionByRange(n_parts, F.col(key_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    ranged = ranged.persist()
-    if persisted is not None:
-        persisted.append(ranged)
-    counts = {r["_pid"]: r["cnt"] for r in
-              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = [], 0
-    for pid in range(max(counts) + 1 if counts else 0):
-        offsets.append((pid, acc))
-        acc += counts.get(pid, 0)
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
-    w = Window.partitionBy("_pid").orderBy(key_col)
-    ids = (
-        ranged.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.row_number().over(w) + F.col("_offset") - 1)
-        .drop("_pid", "_offset")
-    )
-    # SHUFFLE_HASH: a sort-merge join would sort the document bodies by
-    # key — exactly the cost this key-only design avoids. The hash
-    # table builds from the narrow ids side; the text side streams.
-    joined = df.join(ids.hint("SHUFFLE_HASH"), key_col)
+    ids, n_keys = _ids_map(df, key_col, out_col, persisted)
+    # join-back strategy, picked from the key count we just collected
+    # (free — the offsets pass already counted every partition):
+    # broadcasting the narrow (key, doc_id) map keeps the DOCUMENT
+    # BODIES where they were scanned — zero text shuffle; the map-side
+    # probe rides the consumer's own scan stage (measured ~4.5 s of a
+    # 28 s 1M-page build was just lz4-ing text through the exchange).
+    # Past the gate (driver-sized map), SHUFFLE_HASH: a sort-merge
+    # join would sort the document bodies by key — exactly the cost
+    # this key-only design avoids; the hash table builds from the
+    # narrow ids side and the text side streams.
+    if n_keys <= BROADCAST_IDS_MAX:
+        joined = df.join(F.broadcast(ids), key_col)
+    else:
+        joined = df.join(ids.hint("SHUFFLE_HASH"), key_col)
+    # the (key, doc_id) map itself, for callers (keymap write) that
+    # would otherwise re-scan the full rows just to project it back out
+    joined._pgts_ids = ids
     if validate:
-        n_keys = sum(counts.values())
         n_joined = joined.count()
         if n_joined != n_keys:
             raise ValueError(
@@ -648,6 +696,7 @@ def build_segment_dataframes(
     n_buckets: int = DEFAULT_N_BUCKETS,
     codec: str = "bitpack",
     persisted: list | None = None,
+    ids_future=None,
 ) -> tuple[DataFrame, DataFrame]:
     """docs(doc_id, text) -> (postings_df, doclen_df) for one segment.
 
@@ -675,8 +724,11 @@ def build_segment_dataframes(
     cfg = get_config(config) if isinstance(config, str) else config
     if cfg.parser != "pg":
         return _words_segment_dataframes(
-            docs, doc_id_col, text_col, cfg, n_buckets, codec, persisted
+            docs, doc_id_col, text_col, cfg, n_buckets, codec, persisted,
+            ids_future=ids_future,
         )
+    if ids_future is not None:
+        raise ValueError("deferred doc-id attachment is words-path only")
     from pg_textsearch_spark.functions.tokenizer import (
         _pg_spark_tokens_with_len,
     )
@@ -732,8 +784,19 @@ def _words_segment_dataframes(
     n_buckets: int,
     codec: str,
     persisted: list | None,
+    ids_future=None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Single-shuffle build for split-regex configs (see caller doc)."""
+    """Single-shuffle build for split-regex configs (see caller doc).
+
+    ``ids_future`` (a Future resolving to ``_ids_map``'s (ids df,
+    n_keys)) defers doc-id attachment: ``doc_id_col`` is then the
+    STRING key column, the tokenized doc-level base is built and
+    materialized keyed by it — concurrently with the ids job running
+    on another thread — and dense doc_ids arrive via one doc-level
+    join against the persisted base (broadcast under the gate, the
+    usual shuffle join past it). The ids counts collect and the
+    corpus tokenize pass no longer serialize behind each other.
+    """
     from pg_textsearch_spark.functions.tokenizer import (
         _stem_udf,
         raw_tokens_column,
@@ -745,20 +808,26 @@ def _words_segment_dataframes(
         # InSet membership per element — JVM-side, no anti-join needed
         toks = F.filter(toks, lambda t: ~t.isin(stops))
     toks = F.coalesce(toks, F.array().cast("array<string>"))
-    base = docs.select(
-        F.col(doc_id_col).cast("long").alias("doc_id"), toks.alias("toks")
-    ).withColumn("doc_len", F.size("toks").cast("long"))
+    id_expr = (
+        F.col(doc_id_col).cast("long").alias("doc_id")
+        if ids_future is None else F.col(doc_id_col)
+    )
+    base = docs.select(id_expr, toks.alias("toks")).withColumn(
+        "doc_len", F.size("toks").cast("long")
+    )
     base = base.withColumn("fieldnorm", _fieldnorm_udf()("doc_len"))
     # doc-level rows only (id, toks, len, norm): far lighter to persist
-    # than the round-1 token-level table
+    # than the round-1 token-level table. Dropping this persist was
+    # measured and REJECTED (round 5): building the array<string>
+    # columnar cache costs ~2.5 s at 1M pages/32c, but the base has
+    # three consumers (vocab pass, postings stream, doclen) — without
+    # it the doclen job re-tokenizes for ~5 s concurrently with the
+    # postings action and steals its cores (postings_sec 12.3 -> 15.7,
+    # total +2-3 s).
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     if persisted is not None:
         persisted.append(base)
-
-    # every doc appears, incl. ones tokenizing to nothing (doc_len 0)
-    doclen = base.select("doc_id", "doc_len", "fieldnorm")
-
-    raw = base.select("doc_id", "fieldnorm", F.explode("toks").alias("raw"))
+    vocab_src = base
     if cfg.do_stem:
         # stem the DISTINCT raw vocabulary, not every occurrence: the
         # (raw -> term_id) map is Zipf-small (one UDF call per unique
@@ -771,7 +840,7 @@ def _words_segment_dataframes(
         # (every realistic vocab) vs shuffle (a 100 TB corpus's raw
         # vocabulary can outgrow the driver) at runtime.
         rawmap = (
-            base.select(F.explode("toks").alias("raw"))
+            vocab_src.select(F.explode("toks").alias("raw"))
             .distinct()
             .withColumn("term", _stem_udf(cfg)("raw"))
             .withColumn("term_id", F.xxhash64("term"))
@@ -780,12 +849,38 @@ def _words_segment_dataframes(
         if persisted is not None:
             persisted.append(rawmap)
         termmap = rawmap.select("term", "term_id").distinct()
-        tokens = raw.join(rawmap.select("raw", "term_id"), "raw")
-        check_df = rawmap
+        # evaluate the vocabulary EAGERLY, before the main postings
+        # action: one vocab-sized agg (a) materializes the rawmap
+        # cache every later consumer (occurrence join, termmap,
+        # dictionary) reuses, (b) IS the xxhash64 collision check
+        # (inline here instead of the concurrent validate thread),
+        # and (c) yields the raw-map row count that decides the join
+        # strategy below. Broadcasting the Zipf-small vocab turns the
+        # occurrence-stream join into a map-side probe inside the
+        # explode stage — the plan this replaces re-shuffled the whole
+        # occurrence stream on the raw STRING key (measured 5.6 s wall
+        # / 118 core-s of a 28 s 1M-page build); past the gate the
+        # shuffle join returns.
+        vstats = rawmap.agg(
+            F.count("*").alias("n_raws"),
+            F.countDistinct("term").alias("n_terms"),
+            F.countDistinct("term_id").alias("n_ids"),
+        ).collect()[0]
+        if vstats["n_terms"] != vstats["n_ids"]:
+            raise ValueError(
+                f"term_id collision: {vstats['n_terms']} distinct terms "
+                f"hash to {vstats['n_ids']} distinct xxhash64 ids; "
+                f"rebuild this corpus via the string-keyed "
+                f"postings_from_flat path"
+            )
+        join_map = rawmap.select("raw", "term_id")
+        if vstats["n_raws"] <= BROADCAST_VOCAB_MAX:
+            join_map = F.broadcast(join_map)
+        check_df = None  # collision check already done, inline above
     else:
-        tokens = raw.withColumn("term_id", F.xxhash64("raw"))
+        join_map = None  # term_id computed inline on occurrences
         termmap = (
-            base.select(F.explode("toks").alias("term"))
+            vocab_src.select(F.explode("toks").alias("term"))
             .distinct()
             .withColumn("term_id", F.xxhash64("term"))
             .persist(StorageLevel.MEMORY_AND_DISK)
@@ -793,15 +888,38 @@ def _words_segment_dataframes(
         if persisted is not None:
             persisted.append(termmap)
         check_df = termmap
+
+    if ids_future is not None:
+        # dense ids arrive now — the ids job ran while the vocab pass
+        # above ran. One doc-level join (probe per DOC row, before the
+        # explode): broadcast keeps the token arrays where they were
+        # computed; past the driver-sized gate the shuffle join is the
+        # plan the serial path ran anyway.
+        ids, n_keys = ids_future.result()
+        if n_keys <= BROADCAST_IDS_MAX:
+            base = base.join(F.broadcast(ids), doc_id_col)
+        else:
+            base = base.join(ids.hint("SHUFFLE_HASH"), doc_id_col)
+        base = base.drop(doc_id_col)
+
+    # every doc appears, incl. ones tokenizing to nothing (doc_len 0)
+    doclen = base.select("doc_id", "doc_len", "fieldnorm")
+    raw = base.select("doc_id", "fieldnorm", F.explode("toks").alias("raw"))
+    if join_map is not None:
+        tokens = raw.join(join_map, "raw")
+    else:
+        tokens = raw.withColumn("term_id", F.xxhash64("raw"))
     # no tf column: each row is one occurrence (tf=1) and the block
     # kernel's segmented sum counts them — why ship 4 constant
     # bytes/row through the arrow bridge
     flat = tokens.select("term_id", "doc_id", "fieldnorm")
+    validate = (
+        _collision_check(check_df) if check_df is not None
+        else (lambda: None)
+    )
     return (
-        postings_from_flat_ids(
-            flat, termmap, n_buckets, codec,
-            validate=_collision_check(check_df),
-        ),
+        postings_from_flat_ids(flat, termmap, n_buckets, codec,
+                               validate=validate),
         doclen,
     )
 
@@ -1082,19 +1200,14 @@ class IndexWriter:
         validate = getattr(postings, "_pgts_validate", None)
         val_pool = _TPE(1) if validate is not None else None
         val_f = val_pool.submit(validate) if val_pool is not None else None
-        d = timed("postings_sec")
-        with _arrow_batch(
-            postings.sparkSession, getattr(postings, "_pgts_arrow_batch", None)
-        ):
-            self.store.write(postings, "postings", seg_id, **POSTINGS_WRITE_OPTS)
-        d()
-        # the tail tables are independent chains once postings are on
-        # disk — submit them from threads so their (fixed, core-count-
-        # invariant) job planning/commit overlaps instead of serializing
-        # (the Spark scheduler interleaves stages; each chain keeps its
-        # internal order: doclen -> stats, postings -> dictionary).
-        # These small jobs were the worst-scaling part of the build
-        # (~4.5 s serial at 8 cores, dominated by per-job fixed cost).
+        # the tail tables are independent chains — doclen/stats and
+        # keymap read only the persisted doc-level base / ids map, NOT
+        # the postings, so their jobs run CONCURRENTLY with the
+        # postings action (whose kernel stage leaves core-seconds idle
+        # while tasks block on the Python bridge); the dictionary is
+        # the one table that reads the written postings and follows
+        # them. These small jobs were the worst-scaling part of the
+        # build (~4.5 s serial at 8 cores, per-job fixed cost).
         from concurrent.futures import ThreadPoolExecutor
 
         spark = postings.sparkSession
@@ -1130,13 +1243,22 @@ class IndexWriter:
         with ThreadPoolExecutor(3) as pool:
             f_stats = pool.submit(doclen_then_stats)
             f_key = pool.submit(write_keymap)
+            d = timed("postings_sec")
+            with _arrow_batch(
+                postings.sparkSession,
+                getattr(postings, "_pgts_arrow_batch", None),
+            ):
+                self.store.write(
+                    postings, "postings", seg_id, **POSTINGS_WRITE_OPTS
+                )
+            d()
             f_dict = pool.submit(write_dict)
             stats = f_stats.result()
             f_key.result()
+            f_dict.result()  # raise write failures before the commit
         if val_f is not None:
             val_f.result()  # raises (collision) before the commit
             val_pool.shutdown()
-            f_dict.result()
 
         manifest = self.read_manifest()
         if not manifest:
@@ -1194,27 +1316,69 @@ def build_index(
     unique integer ids (their numeric order is the tie-break order).
     """
     persisted: list = []
+    ids_pool = None
     try:
-        if key_col is not None:
-            # project to the two columns the build touches BEFORE the
-            # id shuffle: assign_doc_ids persists + range-shuffles its
-            # input, which defeats Catalyst column pruning — dragging
-            # e.g. the html binary through that shuffle triples its
-            # volume
-            docs = assign_doc_ids(
-                docs.select(key_col, text_col), key_col, persisted=persisted
+        cfg = get_config(config) if isinstance(config, str) else config
+        ids_future = None
+        ids_df = None
+        overlap = os.environ.get("PGTS_OVERLAP_HEAD", "0") == "1"
+        if key_col is not None and cfg.parser != "pg" and overlap:
+            # overlapped head phase (words configs): the key-only
+            # doc-id job and the tokenize/vocabulary pass touch
+            # disjoint columns, so the ids job runs on a worker thread
+            # while the main thread materializes the tokenized base;
+            # they meet at one doc-level join. MEASURED SLOWER than
+            # the serial path (interleaved A/B, 3 passes each, 1M
+            # pages: median 24.2 s vs 20.8 s): the base cache must
+            # then be keyed by the URL STRING (wider cached rows) and
+            # every downstream pass (doclen, explode) re-pays the
+            # string-keyed broadcast probe the serial plan pays once,
+            # inside the materialization scan — costs that exceed the
+            # ~2 s of hidden ids-job wall. Kept behind this env gate
+            # as the documented negative result; default stays serial.
+            from concurrent.futures import ThreadPoolExecutor
+
+            raw_docs = docs.select(key_col, text_col)
+            ids_pool = ThreadPoolExecutor(max_workers=1)
+            ids_future = ids_pool.submit(
+                _ids_map, raw_docs, key_col, "doc_id", persisted
             )
+            postings, doclen = build_segment_dataframes(
+                raw_docs, key_col, text_col, cfg, n_buckets,
+                codec=codec, persisted=persisted, ids_future=ids_future,
+            )
+            ids_df = ids_future.result()[0]
             doc_id_col = "doc_id"
         else:
-            docs = docs.select(doc_id_col, text_col)
-        postings, doclen = build_segment_dataframes(
-            docs, doc_id_col, text_col, config, n_buckets,
-            codec=codec, persisted=persisted,
-        )
+            if key_col is not None:
+                t0 = time.time()
+                docs = assign_doc_ids(
+                    docs.select(key_col, text_col), key_col,
+                    persisted=persisted,
+                )
+                if metrics is not None:
+                    metrics["ids_sec"] = round(time.time() - t0, 3)
+                doc_id_col = "doc_id"
+                ids_df = getattr(docs, "_pgts_ids", None)
+            else:
+                docs = docs.select(doc_id_col, text_col)
+            t0 = time.time()
+            postings, doclen = build_segment_dataframes(
+                docs, doc_id_col, text_col, cfg, n_buckets,
+                codec=codec, persisted=persisted,
+            )
+            if metrics is not None:
+                # words path: dominated by the eager vocab collect
+                # (which also materializes the tokenized base cache)
+                metrics["plan_sec"] = round(time.time() - t0, 3)
         writer = IndexWriter(index_dir)
         keymap = None
         if key_col is not None:
-            keymap = docs.select(
+            # prefer the assign_doc_ids (key, doc_id) map over
+            # re-projecting the joined rows: same content, no second
+            # pass over the document table
+            kd = ids_df if ids_df is not None else docs
+            keymap = kd.select(
                 F.col(doc_id_col).cast("long").alias("doc_id"),
                 F.col(key_col).cast("string").alias("doc_key"),
             )
@@ -1223,5 +1387,7 @@ def build_index(
             k1=k1, b=b, lineage=lineage, keymap=keymap, metrics=metrics,
         )
     finally:
+        if ids_pool is not None:
+            ids_pool.shutdown(wait=True)
         for h in persisted:
             h.unpersist()
