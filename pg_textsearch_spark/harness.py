@@ -379,6 +379,26 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("rank", "doc_id", F.round("rrf", 6).alias("rrf"))
 
 
+def q_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with the MATERIALIZED ANN index as the vector side —
+    the 100 TB scale path of the fusion (rows-only: IVF probing has
+    recall < 1 by construction; parity with the exact side is pinned
+    by tests/test_hybrid.py)."""
+    from pg_textsearch_spark.operators.hybrid import hybrid_rrf_topk
+
+    idx = ensure_index(spark, sf_dir)
+    ann = ensure_ann_index(spark, sf_dir)
+    emb = embeddings(spark, sf_dir)
+    qvec = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    res = hybrid_rrf_topk(
+        idx, QUERY_MULTI, qvec, ann_index=ann, k=10, candidates=50,
+        n_probe=8,
+    )
+    return res.select("rank", "doc_id", F.round("rrf", 6).alias("rrf"))
+
+
 def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_textsearch_spark.operators.knn import knn_bruteforce
 
@@ -932,6 +952,7 @@ def harness_queries() -> dict:
         "dedup_embedding_lsh": q_embedding_neardup_lsh,
         "knn_cosine_topk": q_knn_topk,
         "hybrid_rrf_topk": q_hybrid_rrf,
+        "hybrid_rrf_ann": q_hybrid_rrf_ann,
         "knn_ann_lsh": q_ann_lsh,
         "knn_ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
@@ -942,10 +963,11 @@ def harness_queries() -> dict:
 
 def harness_oracle_sql() -> dict:
     # keys absent here (dedup_minhash_lsh, dedup_simhash, knn_ann_lsh,
-    # dedup_embedding_lsh, dedup_simhash_pairs, pages_e2e_pipeline) are
-    # rows-only checks: hash-based approximations / recall<1 blocking /
-    # english-config stemming that are not ANSI-SQL-expressible; their
-    # correctness is pinned by the pytest suite instead.
+    # dedup_embedding_lsh, dedup_simhash_pairs, hybrid_rrf_ann,
+    # pages_e2e_pipeline) are rows-only checks: hash-based
+    # approximations / recall<1 blocking / english-config stemming that
+    # are not ANSI-SQL-expressible; their correctness is pinned by the
+    # pytest suite instead.
     return {
         "bm25_topk_multi": bm25_topk_oracle_sql(QUERY_MULTI),
         "bm25_topk_bmw": bm25_topk_oracle_sql(QUERY_MULTI),

@@ -4,12 +4,13 @@ Not in the reference (text-only engine); part of the training-data
 pipeline surface this engine serves at 100 TB. Media travel as
 ``binary`` payloads with a typed metadata struct; decode / feature
 extraction / resize / frame sampling are Arrow-batched ``mapInPandas``
-kernels. The image/audio codecs are NOT in this container, so the
-decode step is STUBBED: with PIL/soundfile absent, a clearly-marked
-deterministic fake derives features from payload bytes. The
-Spark-side plumbing — schema, partitioning, UDF signatures, batch
-shapes — is real and tested; dropping in a real decoder changes one
-function.
+kernels. The decode step is CAPABILITY-PROBED per worker process
+(``decode_capabilities``, the Iceberg-store pattern): with
+PIL/soundfile/pyav installed the payloads are actually decoded (and
+bad bytes raise the codec's own error); in this container, which
+ships no codecs, a clearly-marked deterministic fake derives features
+from payload bytes so the Spark-side plumbing — schema, partitioning,
+UDF signatures, batch shapes — still runs for real and is tested.
 """
 
 from __future__ import annotations
@@ -78,24 +79,106 @@ def generate_media(
     )
 
 
+_CAPS_CACHE: dict[str, bool] | None = None
+
+
+def decode_capabilities(refresh: bool = False) -> dict[str, bool]:
+    """Probe which REAL media decoders this environment has — the
+    Iceberg-store pattern (index/storage.py): capability decided by an
+    import probe, real implementation taken when present, the
+    documented fallback otherwise. Evaluated inside the Python WORKER
+    (each executor probes its own environment); cached per process."""
+    global _CAPS_CACHE
+    if _CAPS_CACHE is not None and not refresh:
+        return _CAPS_CACHE
+    caps = {}
+    try:
+        from PIL import Image  # noqa: F401
+
+        caps["image"] = True
+    except ImportError:
+        caps["image"] = False
+    try:
+        import soundfile  # noqa: F401
+
+        caps["audio"] = True
+    except ImportError:
+        caps["audio"] = False
+    try:
+        import av  # noqa: F401
+
+        caps["video"] = True
+    except ImportError:
+        caps["video"] = False
+    _CAPS_CACHE = caps
+    return caps
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """PIL path: grayscale, resize to an 8x4 grid = FEATURE_DIM pixel
+    intensities in [0,1]. Raises (PIL.UnidentifiedImageError) on bytes
+    that are not a real image — loud, never a silent fake."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 4))
+    return np.asarray(img, dtype=np.float64).reshape(-1) / 255.0
+
+
+def _decode_audio_real(payload: bytes) -> np.ndarray:
+    """soundfile path: mean |amplitude| over FEATURE_DIM equal time
+    bins of the first channel."""
+    import io
+
+    import soundfile as sf
+
+    data, _rate = sf.read(io.BytesIO(payload), always_2d=True)
+    mono = np.abs(data[:, 0].astype(np.float64))
+    if len(mono) == 0:
+        return np.zeros(FEATURE_DIM)
+    bins = np.array_split(mono, FEATURE_DIM)
+    return np.array([b.mean() if len(b) else 0.0 for b in bins])
+
+
+def _decode_video_real(payload: bytes) -> np.ndarray:
+    """pyav path: first frame, grayscale, 8x4 grid (same contract as
+    the image path)."""
+    import io
+
+    import av
+
+    with av.open(io.BytesIO(payload)) as container:
+        for frame in container.decode(video=0):
+            arr = frame.to_ndarray(format="gray")
+            h, w = arr.shape
+            ys = (np.arange(4) * h // 4).clip(0, h - 1)
+            xs = (np.arange(8) * w // 8).clip(0, w - 1)
+            return arr[np.ix_(ys, xs)].astype(np.float64).reshape(-1) / 255.0
+    raise ValueError("video payload decoded zero frames")
+
+
+_REAL_DECODERS = {
+    "image": _decode_image_real,
+    "audio": _decode_audio_real,
+    "video": _decode_video_real,
+}
+
+
 def _decode_payload(payload: bytes, kind: str) -> np.ndarray:
-    """Decode one media payload to a float array.
+    """Decode one media payload to a FEATURE_DIM float array.
 
-    STUB: real decoders (PIL / soundfile / pyav) are unavailable in
-    this container. Gated behind import-try; the fallback is a
-    deterministic fake — splitmix64 over the payload bytes — so every
-    downstream stage (batching, normalization, feature schema) runs
-    for real and reproducibly.
+    Capability-probed: when the real decoder for ``kind`` is installed
+    (PIL / soundfile / pyav — see ``decode_capabilities``) the payload
+    is ACTUALLY decoded, and undecodable bytes raise the codec's own
+    error rather than falling back. Only when the codec is absent from
+    the environment (this container ships none) does the documented
+    deterministic fake run — splitmix64 over the payload bytes — so
+    every downstream stage (batching, normalization, feature schema)
+    still executes for real and reproducibly.
     """
-    if kind == "image":
-        try:
-            from PIL import Image  # noqa: F401
-
-            raise NotImplementedError(
-                "real image decode not wired: container lacks codecs"
-            )
-        except ImportError:
-            pass
+    if decode_capabilities().get(kind):
+        return _REAL_DECODERS[kind](payload)
     raw = np.frombuffer(payload, dtype=np.uint8).astype(np.uint64)
     n = max(len(raw), 1)
     idx = np.arange(FEATURE_DIM, dtype=np.uint64)

@@ -80,3 +80,63 @@ def test_pages_extract_text_invariant(spark):
         for r in with_extracted_text(generate_pages(spark, 50, seed=42)).collect()
     }
     assert a == b
+
+
+def _caps():
+    from pg_textsearch_spark.sources import multimodal
+
+    return multimodal.decode_capabilities(refresh=True)
+
+
+def test_decode_capability_probe_shape():
+    caps = _caps()
+    assert set(caps) == {"image", "audio", "video"}
+    assert all(isinstance(v, bool) for v in caps.values())
+
+
+def test_decode_real_path_taken_when_capable(monkeypatch):
+    """When the probe reports a capability, _decode_payload must route
+    to the REAL decoder (and must NOT swallow its errors) — asserted
+    by injecting a fake decoder, independent of what this container
+    ships."""
+    from pg_textsearch_spark.sources import multimodal
+
+    marker = np.arange(multimodal.FEATURE_DIM, dtype=np.float64)
+    monkeypatch.setattr(multimodal, "_CAPS_CACHE",
+                        {"image": True, "audio": False, "video": False})
+    monkeypatch.setitem(multimodal._REAL_DECODERS, "image",
+                        lambda payload: marker)
+    out = multimodal._decode_payload(b"\x01\x02", "image")
+    assert np.array_equal(out, marker)
+
+    def boom(payload):
+        raise ValueError("bad image bytes")
+
+    monkeypatch.setitem(multimodal._REAL_DECODERS, "image", boom)
+    with pytest.raises(ValueError, match="bad image bytes"):
+        multimodal._decode_payload(b"\x01\x02", "image")
+    # absent capability -> documented deterministic fallback
+    monkeypatch.setattr(multimodal, "_CAPS_CACHE",
+                        {"image": False, "audio": False, "video": False})
+    a = multimodal._decode_payload(b"\x01\x02", "image")
+    b = multimodal._decode_payload(b"\x01\x02", "image")
+    assert np.array_equal(a, b) and len(a) == multimodal.FEATURE_DIM
+
+
+@pytest.mark.skipif(not _caps()["image"], reason="PIL not installed")
+def test_decode_image_real_pil():
+    """Activates automatically in an environment with PIL: a real PNG
+    round-trips through the real decoder to its pixel grid."""
+    import io
+
+    from PIL import Image
+
+    from pg_textsearch_spark.sources import multimodal
+
+    img = Image.new("L", (8, 4))
+    img.putdata(list(range(32)))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    out = multimodal._decode_image_real(buf.getvalue())
+    assert out.shape == (multimodal.FEATURE_DIM,)
+    assert np.allclose(out, np.arange(32) / 255.0)

@@ -537,3 +537,81 @@ def test_webtext_fixture_frozen_stream():
 # pinned by running the scanner once at fixture-freeze time (round 4)
 WEBTEXT_N_TOKENS = 242
 WEBTEXT_STREAM_SHA256 = "bd9781abc463847529898aa1a3b0304c853f64ab40a41db9cb8878c50753ef8d"
+
+
+# ---------------------------------------------------------------------------
+# round-5 tail fixtures: entity-dense and nested-markup grammar (the
+# remaining contract tail per the round-4 verdict). Expected streams
+# derive from PostgreSQL's documented default-parser behavior
+# (textsearch-parsers docs + wparser_def.c state machine): entities
+# need a terminating ';', '<' opens a tag only before tag-grammar
+# characters, tags/entities are token boundaries and never tokenize.
+# ---------------------------------------------------------------------------
+
+
+def test_entity_dense_text():
+    assert scan("Tom &amp; Jerry &#38; friends") == [
+        ("word", "Tom"),
+        ("word", "Jerry"),
+        ("word", "friends"),
+    ]
+
+
+def test_entity_numeric_and_named_forms():
+    # decimal, hex, and named entities all skip whole
+    assert scan("a &#8212; b &#x2014; c &mdash; d") == [
+        ("word", "a"),
+        ("word", "b"),
+        ("word", "c"),
+        ("word", "d"),
+    ]
+
+
+def test_entity_unterminated_is_not_entity():
+    # no ';' -> '&' is punctuation and the name tokenizes as a word
+    assert scan("fish &amp chips") == [
+        ("word", "fish"),
+        ("word", "amp"),
+        ("word", "chips"),
+    ]
+    assert scan("a & b") == [("word", "a"), ("word", "b")]
+
+
+def test_entity_adjacent_to_token():
+    # '&lt;3' = entity then uint; entities break the token like a tag
+    assert scan("score &lt;3 points") == [
+        ("word", "score"),
+        ("uint", "3"),
+        ("word", "points"),
+    ]
+
+
+def test_nested_tags_skip_each_level():
+    assert scan("<div><b><i>deep</i></b> text</div>") == [
+        ("word", "deep"),
+        ("word", "text"),
+    ]
+
+
+def test_tag_attribute_containing_entity():
+    # '&' inside a quoted attribute value stays inside the one tag
+    assert scan('<a title="a &amp; b">z</a>') == [("word", "z")]
+
+
+def test_lt_before_non_tag_char_is_not_tag():
+    # tag opens only on '<'+name/'/'/'!'/'?' — a comparison stays text
+    assert scan("1 < 2 but 3 > 1") == [
+        ("uint", "1"),
+        ("uint", "2"),
+        ("word", "but"),
+        ("uint", "3"),
+        ("uint", "1"),
+    ]
+
+
+def test_tags_break_words_without_whitespace():
+    assert scan("a<b>c</b>d") == [
+        ("word", "a"),
+        ("word", "c"),
+        ("word", "d"),
+    ]
