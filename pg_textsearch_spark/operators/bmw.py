@@ -848,7 +848,9 @@ def topk_bmw(
         if df:
             weights[term] = (math.log1p((n - df + 0.5) / (df + 0.5)), qf)
     if not weights:
-        return spark.createDataFrame([], "rank int, doc_id bigint, score double")
+        from pg_textsearch_spark.operators.serve import local_topk_df
+
+        return local_topk_df(spark, [])
     if bootstrap is None:
         bootstrap = sum(dfs.values()) >= BOOTSTRAP_MIN_POSTINGS
     k1, b, avgdl = index.k1, index.b, index.avgdl
@@ -952,19 +954,38 @@ def topk_bmw(
             score_partition, "doc_id bigint, score double"
         )
     elif total_postings <= small_cut:
-        # small query (single- or multi-term): one task, one shared
-        # heap, no exchange (see SMALL_QUERY_POSTINGS) — all Arrow
-        # batches of the single coalesced partition reach one kernel
-        # call (_score_single_term or WAND/accumulate)
-        def score_all(batches):
-            pdfs = list(batches)
-            if pdfs:
-                out = score_run(pd.concat(pdfs, ignore_index=True))
-                if len(out):
-                    yield out
+        # small query (single- or multi-term): the pruned scan is the
+        # only data-touching work (row-group-pruned parquet read, its
+        # volume bounded by small_cut postings — ~1 MB of encoded
+        # blocks), so collect those rows and run the SAME kernel with
+        # one shared heap DRIVER-side. The coalesce(1) one-task
+        # mapInPandas this replaces paid ~0.17 s/query of Python-stage
+        # setup (function pickling, worker handshake, Arrow stream)
+        # for a kernel that costs <1 ms on a few thousand postings —
+        # measured 0.28 s for a trivial one-task mapInPandas vs 0.11 s
+        # for the bare JVM scan+collect (1M-page index, warm). Scores,
+        # tie-break, and the (rank, doc_id, score) contract are
+        # identical; past small_cut the distributed plans below take
+        # over, so driver memory stays bounded.
+        # collected block structs are Rows — field-indexable exactly
+        # like the dicts the Arrow path hands the kernel
+        rows_pd = pd.DataFrame(
+            [(r["term"], r["run"], r["blocks"]) for r in pruned.collect()],
+            columns=["term", "run", "blocks"],
+        )
+        out = (
+            score_run(rows_pd)
+            if len(rows_pd)
+            else pd.DataFrame({"doc_id": [], "score": []})
+        )
+        order = sorted(
+            zip(out["doc_id"].tolist(), out["score"].tolist()),
+            key=lambda t: (-t[1], t[0]),
+        )[:kk]
+        from pg_textsearch_spark.operators.serve import local_topk_df
 
-        per_run = pruned.coalesce(1).mapInPandas(
-            score_all, "doc_id bigint, score double"
+        return local_topk_df(
+            spark, [(i + 1, d, s) for i, (d, s) in enumerate(order)]
         )
     else:
         per_run = pruned.groupBy("run").applyInPandas(

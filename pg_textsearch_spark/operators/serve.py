@@ -722,13 +722,33 @@ def route_query_choices(index, query: str, n_workers: int,
     return primary, term_bucket(ranked[1][0], n_workers)
 
 
+def local_topk_df(spark, rows):
+    """Lift driver-side (rank, doc_id, score) rows into a DataFrame as
+    a pure-JVM VALUES local relation. ``createDataFrame`` from driver
+    rows is RDD-backed, so every action on it pays a Python-worker
+    stage (~0.3 s measured for ONE row, warm) — a parsed VALUES
+    literal plan collects in ~0.03 s. Float literals use repr's
+    shortest round-trip decimal, which the SQL parser reads back to
+    the identical f64."""
+    if not rows:
+        return spark.sql(
+            "SELECT CAST(NULL AS INT) rank, CAST(NULL AS BIGINT) doc_id,"
+            " CAST(NULL AS DOUBLE) score WHERE 1=0"
+        )
+    vals = ", ".join(
+        f"({int(r)}, {int(d)}L, CAST({float(s)!r} AS DOUBLE))"
+        for r, d, s in rows
+    )
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t(rank, doc_id, score)")
+
+
 def topk_auto(index, query: str, k: int = 10,
               max_postings: int = SERVE_MAX_POSTINGS,
               _serving: ServingIndex | None = None):
     """Dispatch: serve driver-side when the dictionary-known pruned
     volume is bounded, else run the distributed BMW plan. Returns a
     Spark DataFrame either way (serving rows are lifted via
-    createDataFrame — k rows, no job until the caller acts)."""
+    local_topk_df — k rows, JVM-local, near-free to act on)."""
     from pg_textsearch_spark.operators.bmw import topk_bmw
 
     sv = _serving or ServingIndex(index)
@@ -736,7 +756,5 @@ def topk_auto(index, query: str, k: int = 10,
     dfs = sv.term_dfs(list(qtf)) if qtf else {}
     if sum(dfs.values()) <= max_postings:
         rows = topk_serve(index, query, k, _serving=sv)
-        return index.spark.createDataFrame(
-            rows, "rank int, doc_id bigint, score double"
-        )
+        return local_topk_df(index.spark, rows)
     return topk_bmw(index, query, k)
