@@ -529,6 +529,61 @@ def main() -> None:
     }
     total += sticky_wall
 
+    # two-choice routing under a HEAD-HEAVY mix (ServePool): every
+    # query's top-df term is a Zipf-head term (rank <= 100) — the mix
+    # that sends ~every query to a handful of buckets under pure
+    # head-term stickiness. ServePool routes each query to the
+    # less-loaded of its top-2 head-term buckets (queue depth at
+    # dispatch), bounding max_shard while keeping a term's postings in
+    # at most two workers' caches. Recorded: max_shard vs fair share,
+    # and p95 vs the SAME pool serving the scattered mix.
+    from pg_textsearch_spark.operators.serve import ServePool
+    import random as _random
+
+    rqh = _random.Random(20260817)
+    head_mix = [
+        f"t{rqh.randrange(100)} t{5000 + rqh.randrange(30000)}"
+        for _ in range(n_sticky_q)
+    ]
+
+    def _pool_passes(pool, mix):
+        pool.search_many(mix)  # warm pass (caches + routing state)
+        walls, lats, mshard = [], [], 0
+        for _ in range(3):  # median-of-3 (epoch robustness, as above)
+            t0 = time.time()
+            pool.search_many(mix)
+            walls.append(time.time() - t0)
+            lats = sorted(pool.last_latencies)
+            mshard = max(mshard, max(pool.last_shard_counts))
+        return statistics.median(walls), lats, mshard
+
+    with ServePool(idx_dir, n_workers=n_workers) as sp:
+        sc_wall, sc_lats, sc_shard = _pool_passes(sp, all_pool_q)
+        hh_wall, hh_lats, hh_shard = _pool_passes(sp, head_mix)
+    fair = len(head_mix) / n_workers
+    extra["serve_pool_two_choice"] = {
+        "workers": n_workers,
+        "queries": len(head_mix),
+        "fair_share": round(fair, 1),
+        "scattered": {
+            "wall_sec": round(sc_wall, 3),
+            "q_per_sec": round(len(all_pool_q) / sc_wall, 1),
+            "p50_ms": round(1000 * sc_lats[len(sc_lats) // 2], 2),
+            "p95_ms": round(1000 * sc_lats[int(len(sc_lats) * 0.95)], 2),
+            "max_shard": sc_shard,
+        },
+        "head_heavy": {
+            "wall_sec": round(hh_wall, 3),
+            "q_per_sec": round(len(head_mix) / hh_wall, 1),
+            "p50_ms": round(1000 * hh_lats[len(hh_lats) // 2], 2),
+            "p95_ms": round(1000 * hh_lats[int(len(hh_lats) * 0.95)], 2),
+            "max_shard": hh_shard,
+            "max_shard_over_fair": round(hh_shard / fair, 2),
+        },
+        "index_docs": N_LATENCY_DOCS,
+    }
+    total += sc_wall + hh_wall
+
     spark.stop()
     shutil.rmtree(idx_dir, ignore_errors=True)
 

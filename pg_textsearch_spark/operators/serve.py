@@ -34,6 +34,7 @@ from __future__ import annotations
 import math
 import os
 import threading
+import time
 
 import numpy as np
 
@@ -542,10 +543,12 @@ def _pool_worker(index_dir: str, req_q, res_q) -> None:
         if item is None:
             return
         qid, query, k = item
+        t0 = time.perf_counter()
         try:
-            res_q.put((qid, topk_serve(li, query, k, _serving=sv), None))
+            rows = topk_serve(li, query, k, _serving=sv)
+            res_q.put((qid, rows, None, time.perf_counter() - t0))
         except Exception as exc:  # surface, never wedge the pool
-            res_q.put((qid, None, repr(exc)))
+            res_q.put((qid, None, repr(exc), time.perf_counter() - t0))
 
 
 class ServePool:
@@ -632,6 +635,7 @@ class ServePool:
         #: observability for the skew bound (bench records max_shard)
         self.last_shard_counts = shard_counts
         out: list = [None] * len(queries)
+        lats: list[float] = [0.0] * len(queries)
         # drain EVERY outstanding qid before raising: workers always
         # answer (a failing query posts an error tuple), so stopping at
         # the first error would leave this batch's remaining results
@@ -640,18 +644,22 @@ class ServePool:
         # mid-drain, e.g. on KeyboardInterrupt) are discarded.
         first_err = None
         while pending:
-            qid, rows, err = self._res_q.get()
+            qid, rows, err, lat = self._res_q.get()
             w = self._qid_worker.pop(qid, None)
             if w is not None:
                 self._outstanding[w] -= 1
             idx = pending.pop(qid, None)
             if idx is None:
                 continue  # stale result from an abandoned batch
+            lats[idx] = lat
             if err is not None:
                 if first_err is None:
                     first_err = err
             else:
                 out[idx] = rows
+        #: per-query worker-side service seconds of the batch just
+        #: drained (queueing excluded) — tail-latency observability
+        self.last_latencies = lats
         if first_err is not None:
             raise RuntimeError(f"ServePool worker failed: {first_err}")
         return out

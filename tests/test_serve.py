@@ -244,7 +244,7 @@ def test_serve_pool_survives_worker_error(idx):
         # real result for that qid then arrives as a stale duplicate
         # and must be discarded, while the other two queries' results
         # are drained before the raise
-        pool._res_q.put((pool._next_qid, None, "forged failure"))
+        pool._res_q.put((pool._next_qid, None, "forged failure", 0.0))
         with pytest.raises(RuntimeError, match="forged failure"):
             pool.search_many(["alpha beta", "beta", "alpha"], k=5)
         # the pool is NOT wedged: a fresh batch still answers correctly
