@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import heapq
 import math
+import os
+import threading
 
 import numpy as np
 import pandas as pd
@@ -819,6 +821,21 @@ BOOTSTRAP_MIN_POSTINGS = 10_000_000
 #: terms). Override per call with ``small_query_postings``.
 SMALL_QUERY_POSTINGS = 500_000
 
+#: concurrent driver-side small-query scorings admitted before the
+#: dispatcher falls back to the distributed plan. The driver path is
+#: ~2.5x lower latency for one caller, but its per-query work (plan
+#: build, row pickling, kernel) holds the GIL — 16 threads all taking
+#: it measured LOWER aggregate throughput (7.5 q/s) than 16 on the
+#: distributed plan (13-14 q/s), whose execution parallelizes in the
+#: JVM and workers. A non-blocking semaphore keeps the fast path for
+#: light concurrency and spills the overflow to the cluster — the
+#: same latency-vs-throughput fork a cost-based planner takes under
+#: load. (True high-QPS serving belongs to the serve tier regardless:
+#: ServePool does 3.5k q/s on the same index.)
+_DRIVER_SCORE_SLOTS = threading.BoundedSemaphore(
+    int(os.environ.get("PGTS_DRIVER_SCORE_SLOTS", "4"))
+)
+
 
 def topk_bmw(
     index,
@@ -953,7 +970,9 @@ def topk_bmw(
         per_run = pruned.mapInPandas(
             score_partition, "doc_id bigint, score double"
         )
-    elif total_postings <= small_cut:
+    elif total_postings <= small_cut and _DRIVER_SCORE_SLOTS.acquire(
+        blocking=False
+    ):
         # small query (single- or multi-term): the pruned scan is the
         # only data-touching work (row-group-pruned parquet read, its
         # volume bounded by small_cut postings — ~1 MB of encoded
@@ -965,19 +984,24 @@ def topk_bmw(
         # measured 0.28 s for a trivial one-task mapInPandas vs 0.11 s
         # for the bare JVM scan+collect (1M-page index, warm). Scores,
         # tie-break, and the (rank, doc_id, score) contract are
-        # identical; past small_cut the distributed plans below take
-        # over, so driver memory stays bounded.
-        # collected block structs are Rows — field-indexable exactly
-        # like the dicts the Arrow path hands the kernel
-        rows_pd = pd.DataFrame(
-            [(r["term"], r["run"], r["blocks"]) for r in pruned.collect()],
-            columns=["term", "run", "blocks"],
-        )
-        out = (
-            score_run(rows_pd)
-            if len(rows_pd)
-            else pd.DataFrame({"doc_id": [], "score": []})
-        )
+        # identical; past small_cut (or with all driver slots busy —
+        # see _DRIVER_SCORE_SLOTS) the distributed plans take over, so
+        # driver memory and GIL pressure stay bounded.
+        try:
+            # collected block structs are Rows — field-indexable
+            # exactly like the dicts the Arrow path hands the kernel
+            rows_pd = pd.DataFrame(
+                [(r["term"], r["run"], r["blocks"])
+                 for r in pruned.collect()],
+                columns=["term", "run", "blocks"],
+            )
+            out = (
+                score_run(rows_pd)
+                if len(rows_pd)
+                else pd.DataFrame({"doc_id": [], "score": []})
+            )
+        finally:
+            _DRIVER_SCORE_SLOTS.release()
         order = sorted(
             zip(out["doc_id"].tolist(), out["score"].tolist()),
             key=lambda t: (-t[1], t[0]),
