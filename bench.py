@@ -379,9 +379,9 @@ def main() -> None:
         except Exception as exc:  # surface, don't hang the bench
             errs.append(exc)
 
-    # median-of-3 passes (first pass doubles as the warm one and is
-    # not a sample): round-4's single-pass numbers landed in a slow
-    # epoch (9.2 q/s recorded vs 13-15 solo) — same fix as batch above
+    # warm pass (untimed) + median-of-3 samples: round-4's single-pass
+    # numbers landed in a slow epoch (9.2 q/s recorded vs 13-15 solo)
+    # — same discipline as the batch section above
     def _run_clients(fn) -> float:
         threads = [
             threading.Thread(target=fn, args=(c,))
@@ -394,6 +394,7 @@ def main() -> None:
             th.join()
         return time.time() - t0
 
+    _run_clients(client)  # warm (plans, df caches, worker reuse)
     conc_samples = [_run_clients(client) for _ in range(3)]
     conc_sec = statistics.median(conc_samples)
     assert not errs, errs[0]

@@ -455,6 +455,17 @@ def _postings_arrow(
         # arrays' memory (no .tobytes() re-copy — payload buffers run
         # hundreds of MB per partition and fresh-page writes are the
         # expensive resource on this host class)
+        # pa.binary() carries int32 offsets: a partition whose total
+        # payload passes 2 GiB would WRAP here and write a corrupt
+        # segment with no error (the old pa.array(list) path raised
+        # ArrowCapacityError). Fail loudly with the remedy instead.
+        if len(pay_off) and int(pay_off[-1]) > (1 << 31) - 8:
+            raise ValueError(
+                f"postings kernel: partition payload {int(pay_off[-1])} B"
+                " exceeds the 2 GiB arrow binary-offset range — raise"
+                " spark.sql.shuffle.partitions so each (term,run)"
+                " shuffle partition holds < 2 GiB of encoded blocks"
+            )
         pay_off32 = np.ascontiguousarray(pay_off, dtype=np.int32)
         payload_arr = pa.Array.from_buffers(
             pa.binary(),
@@ -866,12 +877,13 @@ def _words_segment_dataframes(
             F.countDistinct("term").alias("n_terms"),
             F.countDistinct("term_id").alias("n_ids"),
         ).collect()[0]
-        if vstats["n_terms"] != vstats["n_ids"]:
+        dict_encode = os.environ.get("PGTS_DICT_ENCODE", "1") != "0"
+        if dict_encode and vstats["n_terms"] != vstats["n_ids"]:
             raise ValueError(
                 f"term_id collision: {vstats['n_terms']} distinct terms "
                 f"hash to {vstats['n_ids']} distinct xxhash64 ids; "
-                f"rebuild this corpus via the string-keyed "
-                f"postings_from_flat path"
+                f"rebuild this corpus with PGTS_DICT_ENCODE=0 (the "
+                f"string-keyed postings path — collision-immune)"
             )
         join_map = rawmap.select("raw", "term_id")
         if vstats["n_raws"] <= BROADCAST_VOCAB_MAX:
@@ -905,6 +917,23 @@ def _words_segment_dataframes(
     # every doc appears, incl. ones tokenizing to nothing (doc_len 0)
     doclen = base.select("doc_id", "doc_len", "fieldnorm")
     raw = base.select("doc_id", "fieldnorm", F.explode("toks").alias("raw"))
+
+    if os.environ.get("PGTS_DICT_ENCODE", "1") == "0":
+        # string-keyed fallback (PGTS_DICT_ENCODE=0): term STRINGS ride
+        # the shuffle and the Arrow bridge — slower, but immune to
+        # xxhash64 term_id collisions. This is the remedy the collision
+        # error below names; it must stay reachable from the public
+        # build API.
+        if cfg.do_stem:
+            tmap = rawmap.select("raw", "term")
+            if vstats["n_raws"] <= BROADCAST_VOCAB_MAX:
+                tmap = F.broadcast(tmap)
+            tokens_s = raw.join(tmap, "raw")
+        else:
+            tokens_s = raw.withColumn("term", F.col("raw"))
+        flat_s = tokens_s.select("term", "doc_id", "fieldnorm")
+        return postings_from_flat(flat_s, n_buckets, codec), doclen
+
     if join_map is not None:
         tokens = raw.join(join_map, "raw")
     else:
@@ -1064,9 +1093,26 @@ def postings_from_flat_ids(
     # from the 36M-row stream measured ~15% off the whole stage.
     # Sorting by (term_id, docfn) == (term_id, doc_id) since fieldnorm
     # is constant per doc; run = docfn >> (RUN_SHIFT + 8).
+    # loud range guard (JVM, codegen'd — two comparisons/row): packing
+    # wraps silently for doc_id >= 2^55 or < 0 (e.g. caller-supplied
+    # snowflake-style ids through doc_id_col), which would corrupt the
+    # unpacked ids downstream with no error. Dense build-assigned ids
+    # never trip it.
+    guarded_id = F.when(
+        (F.col("doc_id") < 0) | (F.col("doc_id") >= F.lit(1 << 55)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "postings_from_flat_ids: doc_id outside the packable"
+                    " range [0, 2^55): "
+                ),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("doc_id"))
     cols = [
         F.col("term_id"),
-        F.shiftleft(F.col("doc_id"), 8)
+        F.shiftleft(guarded_id, 8)
         .bitwiseOR(F.col("fieldnorm").cast("long"))
         .alias("docfn"),
     ]
@@ -1092,9 +1138,14 @@ def postings_from_flat_ids(
     # every Python stage under this plan sees narrow fixed-width rows
     # (int columns; vocab-sized strings), so 4x-larger Arrow batches
     # are safe and shave the per-batch bridge overhead (measured
-    # ~1.5 s on the 1M-page build); write_segment scopes the conf to
-    # the postings action via this marker so chunky-row kernels
-    # elsewhere (doc text, posting payloads) keep the default.
+    # ~1.5 s on the 1M-page build); write_segment applies the conf
+    # around the postings action via this marker. NB the conf is
+    # session-global for that window — the doclen/keymap jobs running
+    # concurrently (write_segment's early tail) may plan under it,
+    # which is safe today because those chains are UDF-free on this
+    # path (cached base reads + JVM aggs); a chunky-row Python kernel
+    # must not be added to the concurrent tail without scoping this
+    # differently.
     out._pgts_arrow_batch = BUILD_ARROW_BATCH
     out._pgts_validate = validate
     return out
@@ -1199,6 +1250,22 @@ class IndexWriter:
 
         validate = getattr(postings, "_pgts_validate", None)
         val_pool = _TPE(1) if validate is not None else None
+        try:
+            return self._write_segment_inner(
+                postings, doclen, seg_id, config, n_buckets, k1, b,
+                lineage, keymap, timed, val_pool, validate,
+            )
+        finally:
+            # always reap the validator thread — a write failure
+            # anywhere in the tail used to leak it
+            if val_pool is not None:
+                val_pool.shutdown(wait=False)
+
+    def _write_segment_inner(
+        self, postings, doclen, seg_id, config, n_buckets, k1, b,
+        lineage, keymap, timed, val_pool, validate,
+    ) -> dict:
+        base = self.index_dir
         val_f = val_pool.submit(validate) if val_pool is not None else None
         # the tail tables are independent chains — doclen/stats and
         # keymap read only the persisted doc-level base / ids map, NOT
@@ -1258,7 +1325,6 @@ class IndexWriter:
             f_dict.result()  # raise write failures before the commit
         if val_f is not None:
             val_f.result()  # raises (collision) before the commit
-            val_pool.shutdown()
 
         manifest = self.read_manifest()
         if not manifest:

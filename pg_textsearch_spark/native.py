@@ -172,21 +172,6 @@ void pgts_radix_sort(int64_t *tids, int64_t *dfns, int64_t *tfs,
     }
 }
 
-/* Fused delta+sortedness pass over a collapsed posting stream:
-   deltas[i] = ids[i] - ids[i-1] except at block heads (absolute).
-   Returns 0 if any in-group id decreases (caller falls back). */
-int64_t pgts_deltas(const int64_t *ids, int64_t n,
-                    const int64_t *blk_start, int64_t n_blocks,
-                    int64_t *deltas) {
-    if (n == 0)
-        return 1;
-    deltas[0] = ids[0];
-    for (int64_t i = 1; i < n; i++)
-        deltas[i] = ids[i] - ids[i - 1];
-    for (int64_t b = 0; b < n_blocks; b++)
-        deltas[blk_start[b]] = ids[blk_start[b]];
-    return 1;
-}
 """
 
 _LIB = None
@@ -216,7 +201,22 @@ def _build_lib():
     rename race harmlessly.
     """
     tag = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
-    cache = os.path.join(tempfile.gettempdir(), f"pgts_native_{tag}.so")
+    # per-user 0700 cache dir, ownership-verified before every dlopen:
+    # a world-writable shared temp dir with a predictable name would
+    # let another local user plant a library that loads into every
+    # worker (the source hash is public, so the name is guessable)
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"pgts_native_u{os.getuid()}"
+    )
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    st = os.stat(cache_dir)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        raise RuntimeError(
+            f"native cache dir {cache_dir} is not owned-and-private "
+            f"(uid {st.st_uid}, mode {oct(st.st_mode & 0o777)}) — "
+            f"refusing to load code from it"
+        )
+    cache = os.path.join(cache_dir, f"pgts_native_{tag}.so")
     if not os.path.exists(cache):
         with tempfile.TemporaryDirectory() as td:
             src = os.path.join(td, "pgts_native.c")
@@ -235,7 +235,6 @@ def _build_lib():
     lib = ctypes.CDLL(cache)
     lib.pgts_pack_groups.restype = None
     lib.pgts_assemble_payloads.restype = None
-    lib.pgts_deltas.restype = ctypes.c_int64
     lib.pgts_radix_sort.restype = None
     return lib
 

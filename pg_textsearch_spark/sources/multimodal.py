@@ -105,10 +105,12 @@ def decode_capabilities(refresh: bool = False) -> dict[str, bool]:
     except ImportError:
         caps["audio"] = False
     try:
+        # pyav raises OSError (missing/mismatched libav .so), not just
+        # ImportError — any import failure means "capability absent"
         import av  # noqa: F401
 
         caps["video"] = True
-    except ImportError:
+    except Exception:
         caps["video"] = False
     _CAPS_CACHE = caps
     return caps
@@ -165,19 +167,26 @@ _REAL_DECODERS = {
 }
 
 
-def _decode_payload(payload: bytes, kind: str) -> np.ndarray:
+def _decode_payload(
+    payload: bytes, kind: str, mime: str | None = None
+) -> np.ndarray:
     """Decode one media payload to a FEATURE_DIM float array.
 
-    Capability-probed: when the real decoder for ``kind`` is installed
-    (PIL / soundfile / pyav — see ``decode_capabilities``) the payload
-    is ACTUALLY decoded, and undecodable bytes raise the codec's own
-    error rather than falling back. Only when the codec is absent from
-    the environment (this container ships none) does the documented
-    deterministic fake run — splitmix64 over the payload bytes — so
-    every downstream stage (batching, normalization, feature schema)
-    still executes for real and reproducibly.
+    Dispatch is mime-aware: the synthetic ``<kind>/bin`` payloads
+    (``generate_media``'s declared format — splitmix64 bytes) ALWAYS
+    take the deterministic decoder below, even where real codecs are
+    installed — they are not images/audio and feeding them to PIL
+    would (rightly) raise. For real mimes, when the decoder for
+    ``kind`` is installed (PIL / soundfile / pyav — see
+    ``decode_capabilities``) the payload is ACTUALLY decoded, and
+    undecodable bytes raise the codec's own error rather than falling
+    back; when the codec is absent (this container ships none) the
+    documented deterministic fake runs so every downstream stage
+    (batching, normalization, feature schema) still executes for real
+    and reproducibly.
     """
-    if decode_capabilities().get(kind):
+    synthetic = mime is not None and mime.endswith("/bin")
+    if not synthetic and decode_capabilities().get(kind):
         return _REAL_DECODERS[kind](payload)
     raw = np.frombuffer(payload, dtype=np.uint8).astype(np.uint64)
     n = max(len(raw), 1)
@@ -200,8 +209,16 @@ def extract_features(media: DataFrame) -> DataFrame:
     def run(it):
         for pdf in it:
             feats = []
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                v = _decode_payload(bytes(payload), kind)
+            mimes = (
+                [m.get("mime") if isinstance(m, dict) else m["mime"]
+                 for m in pdf["meta"]]
+                if "meta" in pdf.columns
+                else [None] * len(pdf)
+            )
+            for payload, kind, mime in zip(
+                pdf["payload"], pdf["kind"], mimes
+            ):
+                v = _decode_payload(bytes(payload), kind, mime)
                 nrm = np.linalg.norm(v)
                 feats.append((v / nrm if nrm > 0 else v).astype(np.float32).tolist())
             yield pd.DataFrame(

@@ -115,6 +115,9 @@ def test_decode_real_path_taken_when_capable(monkeypatch):
     monkeypatch.setitem(multimodal._REAL_DECODERS, "image", boom)
     with pytest.raises(ValueError, match="bad image bytes"):
         multimodal._decode_payload(b"\x01\x02", "image")
+    # the synthetic 'image/bin' mime must NEVER reach the real decoder
+    out = multimodal._decode_payload(b"\x01\x02", "image", "image/bin")
+    assert len(out) == multimodal.FEATURE_DIM
     # absent capability -> documented deterministic fallback
     monkeypatch.setattr(multimodal, "_CAPS_CACHE",
                         {"image": False, "audio": False, "video": False})

@@ -171,3 +171,38 @@ def test_tokenize_vector_udf_matches_tokenize(spark):
     assert out[3] == []
     # sorted by term (deterministic wire order)
     assert [e["term"] for e in out[1]] == sorted(e["term"] for e in out[1])
+
+
+def test_string_keyed_build_fallback_matches(spark, tmp_path, monkeypatch):
+    """PGTS_DICT_ENCODE=0 (the collision-error remedy) must produce an
+    equivalent index via the string-keyed postings path."""
+    rows = [(i, f"alpha beta t{i % 7} gamma t{i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d_a = str(tmp_path / "dict")
+    d_b = str(tmp_path / "str")
+    build_index(spark, docs, d_a, config="ascii", n_buckets=4)
+    monkeypatch.setenv("PGTS_DICT_ENCODE", "0")
+    build_index(spark, docs, d_b, config="ascii", n_buckets=4)
+    monkeypatch.delenv("PGTS_DICT_ENCODE")
+    a, b = BM25Index(spark, d_a), BM25Index(spark, d_b)
+    ra = [(r["doc_id"], round(r["score"], 9))
+          for r in topk_exhaustive(a, "alpha t2", 10).collect()]
+    rb = [(r["doc_id"], round(r["score"], 9))
+          for r in topk_exhaustive(b, "alpha t2", 10).collect()]
+    assert ra == rb and len(ra) == 10
+    # same dictionary contents (term, df) either way
+    da = sorted(map(tuple, spark.read.parquet(d_a + "/dictionary")
+                .select("term", "df").collect()))
+    db = sorted(map(tuple, spark.read.parquet(d_b + "/dictionary")
+                .select("term", "df").collect()))
+    assert da == db
+
+
+def test_out_of_range_doc_id_fails_loudly(spark, tmp_path):
+    """Packing would silently wrap snowflake-scale ids; the build must
+    raise instead (postings_from_flat_ids range guard)."""
+    rows = [(1 << 60, "alpha beta"), (5, "beta gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(Exception, match="packable range"):
+        build_index(spark, docs, str(tmp_path / "big"),
+                    config="ascii", n_buckets=2)
