@@ -615,3 +615,44 @@ def test_tags_break_words_without_whitespace():
         ("word", "c"),
         ("word", "d"),
     ]
+
+
+def test_webtext_fixture2_markup_never_leaks():
+    from tests.webtext_fixture import WEBTEXT_HTML_2
+
+    toks = scan(WEBTEXT_HTML_2)
+    words = {t for _c, t in toks}
+    # attribute names/values, entity names (named, decimal, hex),
+    # class names: none may surface
+    for leaked in ("border", "mdash", "x2014", "8212", "quot", "amp",
+                   "speech", "meta", "footer", "notes", "charset",
+                   "blockquote"):
+        assert leaked not in words, leaked
+    # real content IS tokenized, across the new grammar features
+    assert ("word", "Four") in toks              # blockquote body
+    assert ("hword", "battle-field") in toks     # hyphenated compound
+    assert ("uint", "272") in toks               # table cell
+    assert ("version", "2.1.0") in toks
+    assert ("word", "Bliss") in toks             # between &quot; entities
+    assert ("email", "curator@example.org") in toks
+    assert ("file", "/library/speeches/gettysburg/copies.txt") in toks
+    # AT&T: no terminating ';' after '&T', so '&' is punctuation
+    assert ("word", "AT") in toks and ("word", "T") in toks
+
+
+def test_webtext_fixture2_frozen_stream():
+    import hashlib
+
+    from tests.webtext_fixture import WEBTEXT_HTML_2
+
+    toks = scan(WEBTEXT_HTML_2)
+    digest = hashlib.sha256(
+        "\x1e".join(f"{c}\x1f{t}" for c, t in toks).encode()
+    ).hexdigest()
+    assert len(toks) == WEBTEXT2_N_TOKENS, len(toks)
+    assert digest == WEBTEXT2_STREAM_SHA256, digest
+
+
+# pinned by running the scanner once at fixture-freeze time (round 5)
+WEBTEXT2_N_TOKENS = 172
+WEBTEXT2_STREAM_SHA256 = "db21265f678ba836a7a80381b248c6659b12605a734d4b4d529df8ba60dc8984"

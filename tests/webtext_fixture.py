@@ -60,3 +60,52 @@ likely to effect their Safety &amp; Happiness.</p>
 </body>
 </html>
 """
+
+#: second real public-domain page (round-5, verdict F10 follow-up):
+#: Lincoln's Gettysburg Address (1863, no copyright — the Bliss copy's
+#: text as displayed at the Lincoln Memorial), wrapped in DIFFERENT
+#: markup features than WEBTEXT_HTML: an ordered list, a table with
+#: attributes, a blockquote, numeric (decimal AND hex) entities,
+#: deeply nested inline tags, a query-string URL, and an unterminated
+#: entity in running text.
+WEBTEXT_HTML_2 = """\
+<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>The Gettysburg Address &#8212; Full Text</title>
+</head>
+<body>
+<main class="speech">
+<h1>Address Delivered at the Dedication of the Cemetery at
+Gettysburg</h1>
+<table class="meta" border="1">
+<tr><td>Speaker</td><td>Abraham Lincoln</td></tr>
+<tr><td>Date</td><td>November 19, 1863</td></tr>
+<tr><td>Length</td><td>~272 words</td></tr>
+</table>
+<blockquote cite="https://www.abrahamlincolnonline.org/lincoln/speeches/gettysburg.htm?version=bliss&amp;src=loc">
+<p>Four score and seven years ago our fathers brought forth on this
+continent, a new nation, conceived in Liberty, and dedicated to the
+proposition that all men are created equal.</p>
+<p>Now we are engaged in a great civil war, testing whether that
+nation, or any nation so conceived and <b><i><u>so dedicated</u></i></b>,
+can long endure. We are met on a great battle-field of that war.</p>
+<p>The world will little note, nor long remember what we say here,
+but it can never forget what they did here &#x2014; that from these
+honored dead we take increased devotion &mdash; and that government
+of the people, by the people, for the people, shall not perish from
+the earth.</p>
+</blockquote>
+<ol class="notes">
+<li>Delivered at Gettysburg, Pennsylvania.</li>
+<li>Five known manuscript copies exist; see the index at
+/library/speeches/gettysburg/copies.txt for details.</li>
+</ol>
+<p class="footer">Questions &amp; corrections: curator@example.org
+(cite version 2.1.0). This page uses the &quot;Bliss&quot; text; AT&T
+era reprints differ.</p>
+</main>
+</body>
+</html>
+"""
