@@ -122,12 +122,14 @@ class BM25Index:
 
     def deleted_ids(self):
         """doc_ids marked deleted (the alive-bitset analog); empty DF
-        when no deletes are pending."""
+        when no deletes are pending. Only a genuinely ABSENT deletes
+        table maps to "no deletes" — a failing read (corrupt footer,
+        permission error) must raise, or deleted docs would silently
+        resurrect in results."""
         path = os.path.join(self.index_dir, "deletes")
-        try:
-            return self.spark.read.parquet(path).select("doc_id").distinct()
-        except Exception:
+        if not os.path.exists(path):
             return self.spark.createDataFrame([], "doc_id bigint")
+        return self.spark.read.parquet(path).select("doc_id").distinct()
 
     def has_deletes(self) -> bool:
         return int(self.manifest.get("deleted_docs", 0)) > 0
@@ -220,6 +222,9 @@ class BM25Index:
         )
 
     def dictionary(self) -> DataFrame:
+        # stamp check BEFORE serving the cache: a merge/vacuum/insert
+        # since prewarm must invalidate (per-handle-cache invariant)
+        self._check_stamp()
         if self._dictionary_df is not None:
             return self._dictionary_df
         root = os.path.join(self.index_dir, "dictionary")
@@ -253,7 +258,16 @@ class BM25Index:
         decode at query time. Legacy indexes whose deletes predate the
         table fall back to decoding the query terms' postings."""
         buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        try:
+        # explicit existence probe, not a bare except: only a segment
+        # genuinely missing its dictionary table may fall back to the
+        # postings scan — a transient read failure on a dictionary that
+        # exists must raise, not silently degrade every cache miss
+        dict_root = os.path.join(self.index_dir, "dictionary")
+        has_dict = all(
+            os.path.exists(os.path.join(dict_root, f"seg={s['seg_id']}"))
+            for s in self.manifest["segments"]
+        )
+        if has_dict:
             d = self.dictionary()
             rows = (
                 d.filter(F.col("bucket").isin(buckets))
@@ -263,7 +277,7 @@ class BM25Index:
                 .collect()
             )
             dfs = {r["term"]: int(r["df"]) for r in rows}
-        except Exception:
+        else:
             # legacy segments without a dictionary: derive from postings
             rows = (
                 self.pruned_postings(terms)
@@ -329,7 +343,6 @@ def decode_postings_flat(postings: DataFrame) -> DataFrame:
     objects (an explode-of-structs pandas UDF builds one dict per
     posting and is 10-50x slower on multi-million-posting scans).
     """
-    import numpy as np
 
     def run(batches):
         for pdf in batches:
@@ -379,9 +392,14 @@ def topk_exhaustive(
     spark = index.spark
     weights = index.query_weights(query)
     if not weights:
-        return spark.createDataFrame(
+        empty = spark.createDataFrame(
             [], "rank int, doc_id bigint, score double"
         )
+        if with_text is not None:
+            # keep the schema query-independent: an all-stopword query
+            # must return the same columns the joined path does
+            empty = empty.join(with_text, "doc_id", "left")
+        return empty
     wdf = spark.createDataFrame(
         [(t, float(idf), int(qf)) for t, (idf, qf) in weights.items()],
         "term string, idf double, query_freq int",
@@ -418,7 +436,21 @@ def topk_exhaustive(
         "score",
     )
     if with_text is not None:
-        ranked = ranked.join(F.broadcast(with_text), "doc_id", "left")
+        # prune the text table to the k result ids BEFORE broadcasting
+        # (the resolve_keys pattern): broadcasting the un-pruned corpus
+        # text table is a driver-OOM at any real scale. One eager
+        # collect of k scalar rows, then an isin-pruned scan feeds a
+        # k-row broadcast; ranked is rebuilt as a local relation so the
+        # top-k job is not re-run by the join.
+        rows = ranked.collect()
+        from pg_textsearch_spark.operators.serve import local_topk_df
+
+        ranked = local_topk_df(
+            spark, [(r["rank"], r["doc_id"], r["score"]) for r in rows]
+        )
+        ids = [r["doc_id"] for r in rows]
+        pruned_text = with_text.filter(F.col("doc_id").isin(ids))
+        ranked = ranked.join(F.broadcast(pruned_text), "doc_id", "left")
     return ranked
 
 
@@ -447,6 +479,8 @@ def topk_filtered(
     no doubling loop — semantics otherwise identical to
     ``topk_exhaustive`` (float64 math, (score DESC, doc_id ASC))."""
     spark = index.spark
+    if on not in ("doc_id", "doc_key"):
+        raise ValueError(f"on must be 'doc_id' or 'doc_key', got {on!r}")
     if on == "doc_key":
         km = index.keymap()
         if km is None:
@@ -539,6 +573,12 @@ def topk_batch(
         str(qid): tokenize_query(qtext, index.config)
         for qid, qtext in queries.items()
     }
+    if len(per_query) != len(queries):
+        # e.g. {1: ..., '1': ...} — one query would silently vanish
+        raise ValueError(
+            "topk_batch: query ids collide after string coercion "
+            "(results carry query_id as string)"
+        )
     all_terms = sorted({t for qtf in per_query.values() for t in qtf})
     empty = "query_id string, rank int, doc_id bigint, score double"
     if not all_terms:
