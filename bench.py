@@ -27,6 +27,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import statistics
@@ -47,9 +48,12 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "2000000"))
 #: timed builds per scale-child JVM (after its JIT warmup build)
 SCALE_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1"))
 #: alternating (N, 4N) child pairs — see the epoch-noise note below.
-#: 3 pairs (round-4): the 0.8-bar verdict on a 2-sample median was
-#: within the box's epoch noise; 3 samples/side tightens the median.
-SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+#: 4 pairs (round-6): the headline efficiency is now the MEDIAN OF
+#: PER-PAIR ratios — each pair's two sides run back-to-back in the
+#: same epoch, so a slow epoch hits both sides of a pair and cancels
+#: in the ratio, where the old median-of-samples ratio let one slow
+#: sample set the headline (r5 recorded 0.715 from exactly that).
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "4"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 N_BATCH_QUERIES = int(os.environ.get("SPARK_GRAFT_BATCH_QUERIES", "64"))
 
@@ -188,6 +192,15 @@ def main() -> None:
         extra["scaling_build_sec_n"] = round(med["n"], 2)
         extra["scaling_build_sec_4n"] = round(med["4n"], 2)
         ratio = n_big / n_small
+        # headline = median of PER-PAIR efficiencies: pair i's two
+        # sides ran back-to-back (same epoch), so environmental slow
+        # epochs hit numerator and denominator together and cancel in
+        # the ratio; the old median-of-samples ratio mixed sides from
+        # different epochs and one slow sample set the headline.
+        pair_effs = [
+            round((tn / t4) / ratio, 3)
+            for tn, t4 in zip(samples["n"], samples["4n"])
+        ]
         extra["scaling"] = {
             "pages_docs": N_PAGES,
             "cores_n": n_small,
@@ -196,7 +209,9 @@ def main() -> None:
             "samples_sec_4n": [round(s, 2) for s in samples["4n"]],
             "docs_per_sec_n": round(N_PAGES / med["n"], 1),
             "docs_per_sec_4n": round(N_PAGES / med["4n"], 1),
-            "efficiency": round((med["n"] / med["4n"]) / ratio, 3),
+            "efficiency": round(statistics.median(pair_effs), 3),
+            "efficiency_pairs": pair_effs,
+            "efficiency_of_medians": round((med["n"] / med["4n"]) / ratio, 3),
             "efficiency_min": round((mn["n"] / mn["4n"]) / ratio, 3),
         }
         results["build_pages_scaling"] = extra["scaling_build_sec_4n"]
@@ -358,6 +373,62 @@ def main() -> None:
         "vocab_dfs": idx.term_dfs(vocab),
     }
     total += batch_sec
+
+    # MS-MARCO-shaped sweep (the reference's weighted-latency table,
+    # summary.md:28-38): 400 queries bucketed 1/2/4/6/8 tokens with
+    # the reference sweep's bucket weights, terms drawn Zipf-style
+    # from the index vocabulary (head..tail mix), each bucket run
+    # through topk_batch — the engine's answer to "a day of real
+    # query traffic", amortized sec/query per bucket + the weighted
+    # mean the reference quotes. Correctness of exactly this shape is
+    # pinned vs DuckDB by tests/test_msmarco_sweep.py; this section
+    # records its latency.
+    import random as _rnd
+
+    sweep_rng = _rnd.Random(20260818)
+    # bucket weights ~ the reference's 691-query sweep distribution
+    sweep_shape = {1: 72, 2: 136, 4: 120, 6: 48, 8: 24}
+
+    def _sweep_term() -> str:
+        # Zipf-ish rank draw over the synthetic vocab: heavy head,
+        # long tail (ranks 1..35000 exist in the 1M-page corpus)
+        r = int(math.exp(sweep_rng.uniform(math.log(2), math.log(35000))))
+        return f"t{r}"
+
+    sweep_queries: dict[int, dict[str, str]] = {}
+    for ntok, count in sweep_shape.items():
+        sweep_queries[ntok] = {
+            f"s{ntok}_{i}": " ".join(_sweep_term() for _ in range(ntok))
+            for i in range(count)
+        }
+    sweep_out: dict[str, dict] = {}
+    sweep_wall = 0.0
+    weighted_num = 0.0
+    for ntok, qs in sweep_queries.items():
+        topk_batch(idx, qs, k=10).collect()  # warm (df cache + plans)
+        swt = []
+        for _ in range(3):
+            t0 = time.time()
+            topk_batch(idx, qs, k=10).collect()
+            swt.append(time.time() - t0)
+        wall = statistics.median(swt)
+        sweep_wall += wall
+        per_q = wall / len(qs)
+        weighted_num += wall
+        sweep_out[f"{ntok}tok"] = {
+            "n": len(qs),
+            "wall_sec": round(wall, 3),
+            "sec_per_query": round(per_q, 4),
+        }
+    n_sweep = sum(sweep_shape.values())
+    extra["sweep_latency"] = {
+        "queries": n_sweep,
+        "buckets": sweep_out,
+        "weighted_sec_per_query": round(weighted_num / n_sweep, 4),
+        "q_per_sec": round(n_sweep / sweep_wall, 1),
+        "index_docs": N_LATENCY_DOCS,
+    }
+    total += sweep_wall
 
     # concurrent clients: independent threads issuing single top-k
     # queries against the shared 1M-doc index (the reference's
@@ -601,7 +672,72 @@ def main() -> None:
         "sf": sf,
         **extra,
     }
-    print(json.dumps(out))
+    # full result -> file; the PRINTED line is a compact projection.
+    # The driver records only the tail of stdout, and round 5's
+    # single line (grown by samples arrays + mix detail) overflowed
+    # it — the recorded artifact's head (q_*tok, build secs) became
+    # unreadable. The compact line carries every headline number; the
+    # file carries everything (samples, mixes, per-bucket detail).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "bench_result.json",
+    )
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: the printed line still carries it
+
+    def _q(section: str, *keys):
+        sec = extra.get(section)
+        if not isinstance(sec, dict):
+            return None
+        sel = {k: sec[k] for k in keys if k in sec}
+        return sel or None
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "full_result": "benchmarks/bench_result.json",
+    }
+    for k in (
+        "documents_docs_per_sec", "pages_1m_docs_per_sec",
+        "pg_english_1m_docs_per_sec", "batch_queries_per_sec",
+    ):
+        if k in extra:
+            compact[k] = extra[k]
+    scaling = _q(
+        "scaling", "cores_n", "cores_4n", "docs_per_sec_n",
+        "docs_per_sec_4n", "efficiency", "efficiency_pairs",
+        "efficiency_min", "hw_ceiling",
+    )
+    if scaling:
+        compact["scaling"] = scaling
+    for sec, keys in (
+        ("sweep_latency", ("weighted_sec_per_query", "q_per_sec")),
+        ("concurrent", ("q_per_sec",)),
+        ("concurrent_serve", ("q_per_sec",)),
+        ("concurrent_serve_procs", ("q_per_sec",)),
+        ("concurrent_serve_sticky", ("q_per_sec", "p50_ms", "p95_ms")),
+    ):
+        v = _q(sec, *keys)
+        if v:
+            compact[sec] = v
+    tc = extra.get("serve_pool_two_choice")
+    if isinstance(tc, dict):
+        compact["serve_pool_two_choice"] = {
+            "head_heavy_max_shard_over_fair":
+                tc["head_heavy"]["max_shard_over_fair"],
+            "head_heavy_p95_ms": tc["head_heavy"]["p95_ms"],
+            "scattered_p95_ms": tc["scattered"]["p95_ms"],
+        }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 _POOL_SV = None

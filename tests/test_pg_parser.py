@@ -656,3 +656,111 @@ def test_webtext_fixture2_frozen_stream():
 # pinned by running the scanner once at fixture-freeze time (round 5)
 WEBTEXT2_N_TOKENS = 172
 WEBTEXT2_STREAM_SHA256 = "db21265f678ba836a7a80381b248c6659b12605a734d4b4d529df8ba60dc8984"
+
+
+# ---------------------------------------------------------------------------
+# round-6 real-page fixtures 3-5 (verdict task #6: forms/entity-dense,
+# non-Latin, script-style bodies)
+# ---------------------------------------------------------------------------
+
+
+def test_webtext_fixture3_forms_and_entities():
+    from tests.webtext_fixture import WEBTEXT_HTML_3
+
+    toks = scan(WEBTEXT_HTML_3)
+    words = {t for _c, t in toks}
+    # form machinery never leaks: attribute names/values, option
+    # values, entity names (named, decimal, hex) all stay markup
+    for leaked in ("placeholder", "textarea", "submit", "selected",
+                   "sect", "nbsp", "eacute", "mdash", "ldquo", "rarr",
+                   "167", "x00A7", "9733", "amp", "get", "era"):
+        assert leaked not in words, leaked
+    # element BODIES are text: option labels, button label, textarea
+    # default content all tokenize
+    assert ("word", "Constitutional") in toks
+    assert ("word", "Go") in toks
+    assert ("file", "/help/transcription/guide.txt") in toks
+    # &nbsp; is a blank: the words around it stay separate tokens
+    assert ("word", "United") in toks and ("word", "States") in toks
+    # an entity mid-word splits it (PG class structure: word, entity,
+    # word): R&eacute;sum&eacute; -> R + sum
+    assert ("word", "R") in toks and ("word", "sum") in toks
+    assert ("word", "Tranquility") in toks  # preamble body reached
+
+
+def test_webtext_fixture4_non_latin_scripts():
+    from tests.webtext_fixture import WEBTEXT_HTML_4
+
+    toks = scan(WEBTEXT_HTML_4)
+    # Cyrillic letter runs are plain 'word' tokens (Unicode classes)
+    assert ("word", "счастливые") in toks
+    assert ("word", "Толстой") in toks
+    # Cyrillic hyphenated compound behaves exactly like Latin ones
+    assert ("hword", "по-своему") in toks
+    assert ("hword_part", "по") in toks
+    assert ("hword_part", "своему") in toks
+    # mixed-script compound
+    assert ("hword", "Толстой-Tolstoy") in toks
+    assert ("hword_part", "Tolstoy") in toks
+    # polytonic Greek (combining diacritics are letters)
+    assert ("word", "ἄνδρα") in toks
+    assert ("word", "πολύτροπον") in toks
+    # markup attributes in Russian (title="часть первая") never leak
+    words = {t for _c, t in toks}
+    assert "часть" not in words and "первая" not in words
+    # structured classes still fire inside non-Latin prose
+    assert ("url", "lib.ru/LITRA/TOLSTOJ/") in toks
+    assert ("uint", "1877") in toks
+
+
+def test_webtext_fixture5_script_style_bodies_are_text():
+    from tests.webtext_fixture import WEBTEXT_HTML_5
+
+    toks = scan(WEBTEXT_HTML_5)
+    # contract corner: PG's default parser has NO element-content
+    # awareness — script/style BODIES tokenize (only tags skip)
+    assert ("word", "var") in toks          # script body
+    assert ("word", "pageId") in toks
+    assert ("hword", "small-caps") in toks  # style body
+    # <pre>/<code> indentation does not perturb tokenization
+    assert ("word", "grep") in toks
+    assert ("uint", "1685") in toks
+    # underscore splits; the trailing half then reads as a host
+    # (documented file-vs-host ambiguity: moby_dick.txt)
+    assert ("word", "moby") in toks
+    assert ("host", "dick.txt") in toks
+    # definition-list bodies reached; possessive apostrophe kept
+    assert ("word", "Melville's") in toks
+    assert ("hword", "school-and-college") in toks
+    assert ("hword_part", "college") in toks
+
+
+def test_webtext_fixtures345_frozen_streams():
+    import hashlib
+
+    from tests.webtext_fixture import (
+        WEBTEXT_HTML_3,
+        WEBTEXT_HTML_4,
+        WEBTEXT_HTML_5,
+    )
+
+    for html, n_want, sha_want in (
+        (WEBTEXT_HTML_3, WEBTEXT3_N_TOKENS, WEBTEXT3_STREAM_SHA256),
+        (WEBTEXT_HTML_4, WEBTEXT4_N_TOKENS, WEBTEXT4_STREAM_SHA256),
+        (WEBTEXT_HTML_5, WEBTEXT5_N_TOKENS, WEBTEXT5_STREAM_SHA256),
+    ):
+        toks = scan(html)
+        digest = hashlib.sha256(
+            "\x1e".join(f"{c}\x1f{t}" for c, t in toks).encode()
+        ).hexdigest()
+        assert len(toks) == n_want, len(toks)
+        assert digest == sha_want, digest
+
+
+# pinned by running the scanner once at fixture-freeze time (round 6)
+WEBTEXT3_N_TOKENS = 99
+WEBTEXT3_STREAM_SHA256 = "934f199fd2b76911dc29657b27e646859168fabecb72cea6094f391b07a4c0f7"
+WEBTEXT4_N_TOKENS = 67
+WEBTEXT4_STREAM_SHA256 = "a17fde66b35c12d19dab450a849f678e65da15307df4450284eea9dda905551e"
+WEBTEXT5_N_TOKENS = 106
+WEBTEXT5_STREAM_SHA256 = "d3cc3d26e989917ecde3f661520e7369f84790ddfb14aa25e7253e22245b74c2"

@@ -109,3 +109,123 @@ era reprints differ.</p>
 </body>
 </html>
 """
+
+#: third real public-domain page (round-6, verdict task #6): the
+#: Preamble of the U.S. Constitution (1787, no copyright) inside a
+#: FORM-heavy, ENTITY-DENSE archive-search page. New markup features
+#: vs fixtures 1-2: <form> with action attribute, void <input>
+#: elements (incl. a '>' inside a single-quoted attribute value),
+#: <select>/<option>, <label>, <button>, and a <textarea> whose BODY
+#: is plain text to the PG parser (tags are skipped, content between
+#: them always tokenizes); named, decimal and hex entities back to
+#: back, incl. &nbsp; between words (an entity is a blank — the words
+#: it separates stay separate tokens).
+WEBTEXT_HTML_3 = """\
+<!DOCTYPE html>
+<html lang="en">
+<head><meta charset="utf-8"><title>Search the Archives &copy; 2026</title></head>
+<body>
+<form action="/search/founding-docs" method="get" class="archive-search">
+<label for="q">Query:</label>
+<input type="text" id="q" name="q" placeholder='terms > results'>
+<select name="era">
+<option value="1787">Constitutional Convention</option>
+<option value="1791" selected>Bill of Rights</option>
+</select>
+<button type="submit">Go</button>
+<textarea name="notes" rows="3">Transcription notes go here; see
+/help/transcription/guide.txt first.</textarea>
+</form>
+<article>
+<h2>Preamble &sect;&nbsp;1 &#167; &#x00A7;</h2>
+<p>We the People of the United&nbsp;States, in Order to form a more
+perfect Union, establish Justice, insure domestic Tranquility,
+provide for the common defence, promote the general Welfare, and
+secure the Blessings of Liberty to ourselves and our Posterity, do
+ordain and establish this Constitution for the United States of
+America.</p>
+<p class="legal">Ratified 1788; effective March&nbsp;4, 1789.
+R&eacute;sum&eacute; of amendments: 27 ratified &mdash; first 10 in
+1791 (the &ldquo;Bill of Rights&rdquo;). Flags: &#9733;&#9733;
+&amp;&amp; more at archives.gov/founding-docs &rarr; transcripts.</p>
+</article>
+</body>
+</html>
+"""
+
+#: fourth real public-domain page: NON-LATIN scripts. Real text:
+#: the opening sentence of Tolstoy's "Anna Karenina" (1877, public
+#: domain, Cyrillic — includes the hyphenated "по-своему", which must
+#: form an hword compound + parts exactly like Latin compounds) and
+#: the first line of Homer's Odyssey (ancient Greek, polytonic
+#: diacritics). PG's default parser is Unicode: letter runs in any
+#: whitespace-delimited script are 'word' tokens; the english config
+#: stems only what the Porter stemmer recognizes, leaving the rest
+#: lowercased — the class structure, not the language, drives the
+#: pipeline.
+WEBTEXT_HTML_4 = """\
+<!DOCTYPE html>
+<html lang="ru">
+<head><meta charset="utf-8"><title>Анна Каренина — Лев Толстой</title></head>
+<body>
+<main>
+<h1>Анна Каренина</h1>
+<p class="epigraph" title="часть первая">Все счастливые семьи похожи
+друг на друга, каждая несчастливая семья несчастлива по-своему.</p>
+<p>Лев Николаевич Толстой, 1877. Текст в общественном достоянии;
+см. lib.ru/LITRA/TOLSTOJ/ для полного текста.</p>
+<hr>
+<blockquote lang="grc">ἄνδρα μοι ἔννεπε, μοῦσα, πολύτροπον, ὃς μάλα
+πολλὰ πλάγχθη</blockquote>
+<p>Homer, <i>Odyssey</i> 1.1&ndash;1.2; translation at
+www.perseus.tufts.edu/hopper/text?doc=Hom.+Od.+1.1 &mdash; Mixed-script
+tokens: Толстой-Tolstoy is one compound; 1877 was the год.</p>
+</main>
+</body>
+</html>
+"""
+
+#: fifth real public-domain page: the opening of Moby-Dick (1851, no
+#: copyright) as a code-literate blog post. Pins a CONTRACT CORNER:
+#: PG's default parser has no element-content awareness — <script>,
+#: <style>, <pre>, <code> BODIES are plain text (only the tags
+#: themselves are skipped), so a page's CSS selectors and JS
+#: identifiers DO tokenize into the index, exactly as to_tsvector
+#: does. Also: <dl>/<dt>/<dd> definition markup and a <pre> block
+#: whose indentation must not perturb tokenization.
+WEBTEXT_HTML_5 = """\
+<!DOCTYPE html>
+<html lang="en">
+<head>
+<meta charset="utf-8">
+<title>Reading Moby-Dick, annotated</title>
+<style>
+.chapter h2 { font-variant: small-caps; }
+</style>
+<script>
+var pageId = 42; // analytics-stub
+</script>
+</head>
+<body>
+<article class="chapter">
+<h2>Chapter 1: Loomings</h2>
+<p>Call me Ishmael. Some years ago &mdash; never mind how long
+precisely &mdash; having little or no money in my purse, and nothing
+particular to interest me on shore, I thought I would sail about a
+little and see the watery part of the world.</p>
+<dl>
+<dt>whale-ship</dt>
+<dd>A vessel fitted for the whale fishery; Melville's own
+school-and-college.</dd>
+<dt>hypos</dt>
+<dd>Low spirits; the blues.</dd>
+</dl>
+<pre><code>
+  grep -c "whale" moby_dick.txt   # 1685 or so
+</code></pre>
+<p>Etext available at gutenberg.org/ebooks/2701 (Project Gutenberg
+ebook #2701, public domain).</p>
+</article>
+</body>
+</html>
+"""
