@@ -767,6 +767,13 @@ def build_segment_dataframes(
     # (JVM expr over the persisted kernel output) so the big sorted
     # bridge into the posting kernel ships ints only
     nonnull = tokens.filter(F.col("term").isNotNull())
+    if os.environ.get("PGTS_DICT_ENCODE", "1") == "0":
+        # string-keyed fallback — the collision-immune path the
+        # xxhash64-collision error names; it must stay reachable from
+        # the public build API for pg configs too (a colliding
+        # pg-config corpus would otherwise be unbuildable)
+        flat_s = nonnull.select("term", "doc_id", "tf", "fieldnorm")
+        return postings_from_flat(flat_s, n_buckets, codec), doclen
     termmap = (
         nonnull.select("term")
         .distinct()
@@ -778,10 +785,18 @@ def build_segment_dataframes(
     flat = nonnull.select(
         F.xxhash64("term").alias("term_id"), "doc_id", "tf", "fieldnorm"
     )
+    # arrow_batch=None: unlike the words path, this plan's Python
+    # stages are NOT int-only — the postings action (and the doclen/
+    # keymap jobs running concurrently under write_segment's
+    # session-wide conf window) may traverse the full-text mapInPandas
+    # scanner stage when the tokens cache is cold/partial, and a 262k-
+    # row Arrow batch of raw documents is GB-scale per task (advisor
+    # round 6). The default 10k-row batches stay.
     return (
         postings_from_flat_ids(
             flat, termmap, n_buckets, codec,
             validate=_collision_check(termmap),
+            arrow_batch=None,
         ),
         doclen,
     )
@@ -1019,8 +1034,8 @@ def _collision_check(termmap: DataFrame):
             raise ValueError(
                 f"term_id collision: {row['n_terms']} distinct terms "
                 f"hash to {row['n_ids']} distinct xxhash64 ids; rebuild "
-                f"this corpus via the string-keyed postings_from_flat "
-                f"path"
+                f"this corpus with PGTS_DICT_ENCODE=0 (the string-keyed "
+                f"postings_from_flat path — collision-immune)"
             )
 
     return check
@@ -1050,6 +1065,7 @@ def postings_from_flat_ids(
     n_buckets: int,
     codec: str = "bitpack",
     validate=None,
+    arrow_batch: int | None = BUILD_ARROW_BATCH,
 ) -> DataFrame:
     """Dictionary-encoded ``postings_from_flat`` — the bulk build's
     hot path (round-5 headline: close the single-node build constant).
@@ -1142,11 +1158,13 @@ def postings_from_flat_ids(
     # around the postings action via this marker. NB the conf is
     # session-global for that window — the doclen/keymap jobs running
     # concurrently (write_segment's early tail) may plan under it,
-    # which is safe today because those chains are UDF-free on this
-    # path (cached base reads + JVM aggs); a chunky-row Python kernel
-    # must not be added to the concurrent tail without scoping this
-    # differently.
-    out._pgts_arrow_batch = BUILD_ARROW_BATCH
+    # which is safe on the words path because those chains are UDF-free
+    # (cached base reads + JVM aggs). Callers whose plans traverse a
+    # wide-row Python stage (the pg-parser scanner) pass
+    # ``arrow_batch=None`` — a 262k-row batch of raw documents is
+    # GB-scale per task there.
+    if arrow_batch:
+        out._pgts_arrow_batch = int(arrow_batch)
     out._pgts_validate = validate
     return out
 

@@ -66,6 +66,17 @@ class SegmentStore:
     ) -> DataFrame:
         raise NotImplementedError
 
+    def exists(self, table: str, seg_id: int | None = None) -> bool:
+        """Whether ``table`` (or its ``seg_id`` slice) has been
+        written. Existence probes MUST come through here, not through
+        ``os.path.exists`` on a joined path: on a non-local store
+        (Iceberg/object storage) a filesystem probe answers False for
+        data that exists, and callers that treat absence as "no
+        deletes pending" / "no dictionary yet" would silently degrade
+        — resurrecting deleted docs being the worst case (the exact
+        failure the explicit-probe pattern was built to prevent)."""
+        raise NotImplementedError
+
     def drop_segment(self, table: str, seg_id: int) -> None:
         raise NotImplementedError
 
@@ -115,6 +126,11 @@ class ParquetDirStore(SegmentStore):
             .option("basePath", root)
             .parquet(*[self._seg_path(table, s) for s in seg_ids])
         )
+
+    def exists(self, table: str, seg_id: int | None = None) -> bool:
+        if seg_id is None:
+            return os.path.exists(os.path.join(self.index_dir, table))
+        return os.path.exists(self._seg_path(table, seg_id))
 
     def drop_segment(self, table: str, seg_id: int) -> None:
         shutil.rmtree(self._seg_path(table, seg_id), ignore_errors=True)
@@ -184,6 +200,20 @@ class IcebergSegmentStore(SegmentStore):
     ) -> DataFrame:  # pragma: no cover — needs the runtime jars
         ids = ", ".join(str(s) for s in seg_ids)
         return spark.table(self._fqn(table)).filter(f"seg IN ({ids})")
+
+    def exists(
+        self, table: str, seg_id: int | None = None
+    ) -> bool:  # pragma: no cover — needs the runtime jars
+        if not self.spark.catalog.tableExists(self._fqn(table)):
+            return False
+        if seg_id is None:
+            return True
+        return bool(
+            self.spark.table(self._fqn(table))
+            .filter(f"seg = {int(seg_id)}")
+            .limit(1)
+            .count()
+        )
 
     def drop_segment(self, table: str, seg_id: int) -> None:  # pragma: no cover
         self.spark.sql(

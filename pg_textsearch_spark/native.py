@@ -15,9 +15,11 @@ is O_EXCL + rename so concurrent Spark workers race safely) and
 exposes it via ctypes. Everything degrades to the numpy path when a
 compiler is unavailable: ``pack_groups_native`` returns ``None`` and
 the caller keeps its vectorized implementation. Byte-identity between
-the two paths is pinned by tests/test_codec.py (the native path is
-exercised automatically wherever available; ``PGTS_NO_NATIVE=1``
-forces the numpy path for A/B testing).
+the two paths is pinned IN ONE PROCESS by
+tests/test_codec.py::test_native_vs_numpy_kernel_byte_identical
+(native run vs every entry point monkeypatched off; skipped where no
+compiler exists). ``PGTS_NO_NATIVE=1`` additionally forces the numpy
+path process-wide for manual A/B.
 
 This mirrors how production PySpark pipelines ship native codecs
 (Arrow itself, zstd wheels): Python orchestrates the DataFrame plan,

@@ -743,6 +743,18 @@ def local_topk_df(spark, rows):
             "SELECT CAST(NULL AS INT) rank, CAST(NULL AS BIGINT) doc_id,"
             " CAST(NULL AS DOUBLE) score WHERE 1=0"
         )
+    # repr of a non-finite float is the bare token inf/nan, which the
+    # SQL parser reads as an (unresolvable) identifier — fail with the
+    # actual problem instead. Unreachable for BM25 scores (finite by
+    # construction), but this helper is a shared utility now.
+    import math as _math
+
+    for r, d, s in rows:
+        if not _math.isfinite(float(s)):
+            raise ValueError(
+                f"local_topk_df: non-finite score {s!r} for doc {d} "
+                f"cannot be rendered as a SQL double literal"
+            )
     vals = ", ".join(
         f"({int(r)}, {int(d)}L, CAST({float(s)!r} AS DOUBLE))"
         for r, d, s in rows

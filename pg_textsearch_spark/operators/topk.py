@@ -37,6 +37,7 @@ from pg_textsearch_spark.functions.fieldnorm import FIELDNORM_DECODE_TABLE
 from pg_textsearch_spark.functions.tokenizer import tokenize_query
 from pg_textsearch_spark.index.builder import term_bucket
 from pg_textsearch_spark.index.codec import decompress_block
+from pg_textsearch_spark.index.storage import ParquetDirStore
 
 
 #: explicit read schemas (incl. partition columns): parquet dirs from
@@ -57,6 +58,13 @@ class BM25Index:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        # existence probes route through the store abstraction (not
+        # os.path on joined paths) so a non-local SegmentStore can't
+        # silently answer "absent" for data that exists — see
+        # SegmentStore.exists. Reads themselves still use path-based
+        # parquet scans (this handle is the ParquetDirStore reader);
+        # an Iceberg-backed handle is a separate reader by design.
+        self.store = ParquetDirStore(index_dir)
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.config: str = self.manifest["config"]
@@ -126,9 +134,9 @@ class BM25Index:
         table maps to "no deletes" — a failing read (corrupt footer,
         permission error) must raise, or deleted docs would silently
         resurrect in results."""
-        path = os.path.join(self.index_dir, "deletes")
-        if not os.path.exists(path):
+        if not self.store.exists("deletes"):
             return self.spark.createDataFrame([], "doc_id bigint")
+        path = os.path.join(self.index_dir, "deletes")
         return self.spark.read.parquet(path).select("doc_id").distinct()
 
     def has_deletes(self) -> bool:
@@ -262,9 +270,8 @@ class BM25Index:
         # genuinely missing its dictionary table may fall back to the
         # postings scan — a transient read failure on a dictionary that
         # exists must raise, not silently degrade every cache miss
-        dict_root = os.path.join(self.index_dir, "dictionary")
         has_dict = all(
-            os.path.exists(os.path.join(dict_root, f"seg={s['seg_id']}"))
+            self.store.exists("dictionary", s["seg_id"])
             for s in self.manifest["segments"]
         )
         if has_dict:
@@ -288,7 +295,7 @@ class BM25Index:
             dfs = {r["term"]: int(r["df"]) for r in rows}
         if self.has_deletes() and dfs:
             dead_path = os.path.join(self.index_dir, "dead_dfs")
-            if os.path.exists(dead_path):
+            if self.store.exists("dead_dfs"):
                 dead_rows = (
                     self.spark.read.schema("term string, dead_df bigint")
                     .parquet(dead_path)

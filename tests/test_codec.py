@@ -268,3 +268,66 @@ def test_postings_rows_vectorized_batch_carry():
         for r in chunk.itertuples()
     ]
     assert rows == [("a", 0, 2), ("b", 0, 2), ("c", 1, 1)]
+
+
+def test_native_vs_numpy_kernel_byte_identical(monkeypatch):
+    """A/B-pin the compiled fast path against the pure-numpy fallback
+    IN ONE PROCESS (advisor round 6: each CI host otherwise exercises
+    only whichever path its environment enables, and the other could
+    silently diverge). Runs the full posting kernel — including the
+    presorted dictionary-encoded path (radix sort + pack + assemble)
+    — twice: native enabled, then with every native entry point
+    monkeypatched off, and asserts byte-equal emitted rows."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pg_textsearch_spark import native
+    from pg_textsearch_spark.index.builder import _postings_arrow
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip(f"native path unavailable: {native.BLOCKER}")
+
+    rng = random.Random(99)
+    rows = []
+    for tid in range(40):
+        size = rng.choice([1, 2, 7, 127, 128, 129, 400])
+        base = rng.randrange(0, 1 << 30) & ~0x1FFF  # run-aligned-ish
+        ids = sorted(rng.sample(range(base, base + 8192), size))
+        for d in ids:
+            rows.append((tid * 7919, (d << 8) | rng.randrange(256)))
+    rng.shuffle(rows)  # presort path sorts; input arrives unsorted
+    tids = np.array([r[0] for r in rows], dtype=np.int64)
+    dfns = np.array([r[1] for r in rows], dtype=np.int64)
+
+    def run_kernel():
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(tids.copy()), pa.array(dfns.copy())],
+            names=["term_id", "docfn"],
+        )
+        out = list(_postings_arrow(iter([batch]), "bitpack", presort=True))
+        assert len(out) == 1
+        return [
+            (r["term_id"], r["run"], r["df_run"],
+             [(b["last_doc_id"], b["doc_count"], b["block_max_tf"],
+               b["block_max_norm"], bytes(b["payload"]))
+              for b in r["blocks"]])
+            for r in out[0].to_pylist()
+        ]
+
+    got_native = run_kernel()
+
+    # force every numpy fallback: pack/assemble return None ("no
+    # native"), radix returns False ("sort in numpy")
+    monkeypatch.setattr(native, "pack_groups_native", lambda *a, **k: None)
+    monkeypatch.setattr(
+        native, "assemble_payloads_native", lambda *a, **k: None
+    )
+    monkeypatch.setattr(native, "radix_sort_native", lambda *a, **k: False)
+    got_numpy = run_kernel()
+
+    assert got_native == got_numpy
+    assert len(got_native) >= 40  # every group survived

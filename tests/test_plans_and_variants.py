@@ -198,6 +198,67 @@ def test_string_keyed_build_fallback_matches(spark, tmp_path, monkeypatch):
     assert da == db
 
 
+def test_string_keyed_build_fallback_matches_pg_config(
+    spark, tmp_path, monkeypatch
+):
+    """PGTS_DICT_ENCODE=0 must be honored on the PG-parser branch too
+    (advisor round 6: the collision error's advertised remedy was
+    unreachable for pg configs — a colliding pg corpus could not be
+    built at all)."""
+    rows = [
+        (i, f"alpha beta t{i % 7} <b>gamma</b> see x.org/p{i % 3}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d_a = str(tmp_path / "pgdict")
+    d_b = str(tmp_path / "pgstr")
+    build_index(spark, docs, d_a, config="pg_english", n_buckets=4)
+    monkeypatch.setenv("PGTS_DICT_ENCODE", "0")
+    build_index(spark, docs, d_b, config="pg_english", n_buckets=4)
+    monkeypatch.delenv("PGTS_DICT_ENCODE")
+    a, b = BM25Index(spark, d_a), BM25Index(spark, d_b)
+    ra = [(r["doc_id"], round(r["score"], 9))
+          for r in topk_exhaustive(a, "alpha t2", 10).collect()]
+    rb = [(r["doc_id"], round(r["score"], 9))
+          for r in topk_exhaustive(b, "alpha t2", 10).collect()]
+    assert ra == rb and len(ra) == 10
+    da = sorted(map(tuple, spark.read.parquet(d_a + "/dictionary")
+                .select("term", "df").collect()))
+    db = sorted(map(tuple, spark.read.parquet(d_b + "/dictionary")
+                .select("term", "df").collect()))
+    assert da == db
+
+
+def test_local_topk_df_rejects_non_finite(spark):
+    """A non-finite score would render as a bare inf/nan token and
+    fail SQL analysis as an unresolved identifier; the helper must
+    name the actual problem (advisor round 6)."""
+    from pg_textsearch_spark.operators.serve import local_topk_df
+
+    ok = local_topk_df(spark, [(1, 7, 1.25)]).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in ok] == [(1, 7, 1.25)]
+    with pytest.raises(ValueError, match="non-finite"):
+        local_topk_df(spark, [(1, 7, float("inf"))])
+    with pytest.raises(ValueError, match="non-finite"):
+        local_topk_df(spark, [(1, 7, float("nan"))])
+
+
+def test_segment_store_exists_probe(tmp_path):
+    """Existence probes route through SegmentStore.exists (advisor
+    round 6: a future non-local store must not silently answer False
+    for data that exists — deleted docs would resurrect)."""
+    from pg_textsearch_spark.index.storage import ParquetDirStore
+
+    store = ParquetDirStore(str(tmp_path))
+    assert not store.exists("deletes")
+    assert not store.exists("dictionary", 0)
+    (tmp_path / "deletes").mkdir()
+    (tmp_path / "dictionary" / "seg=3").mkdir(parents=True)
+    assert store.exists("deletes")
+    assert store.exists("dictionary", 3)
+    assert not store.exists("dictionary", 0)
+
+
 def test_out_of_range_doc_id_fails_loudly(spark, tmp_path):
     """Packing would silently wrap snowflake-scale ids; the build must
     raise instead (postings_from_flat_ids range guard)."""
