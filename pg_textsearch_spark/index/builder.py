@@ -242,7 +242,7 @@ def _postings_arrow_schema(key: str = "term"):
 
 def _postings_arrow(
     batches, codec: str = "bitpack", out: str = "arrow",
-    presort: bool = False,
+    presort: bool = False, pack_doc_bits: int | None = None,
 ):
     """Arrow-native posting-row kernel (see ``_postings_rows`` doc).
 
@@ -272,8 +272,13 @@ def _postings_arrow(
         first = next(it)
     except StopIteration:
         return
-    key = "term_id" if "term_id" in first.schema.names else "term"
-    packed = "docfn" in first.schema.names
+    if "packed" in first.schema.names:
+        # single-cell input (pack_doc_bits path below): the emit()
+        # call there hands over an unpacked (term_id, docfn) batch
+        key, packed = "term_id", True
+    else:
+        key = "term_id" if "term_id" in first.schema.names else "term"
+        packed = "docfn" in first.schema.names
     schema = _postings_arrow_schema(key)
 
     def id_fn_cols(batch):
@@ -501,6 +506,46 @@ def _postings_arrow(
             schema=schema,
         )
 
+    if presort and pack_doc_bits is not None:
+        # SINGLE-CELL path (see postings_from_flat_ids pack_bits):
+        # each row is one int64 packing term_id | doc_id | fieldnorm.
+        # Sorting that one key IS the (term, doc) co-sort — numpy 2's
+        # SIMD introsort on one int64 array measured 2x faster than
+        # the 16-bit LSD radix co-sort the two-column path needs, so
+        # no native kernel is involved here. Sign bit is always clear
+        # (bit budget <= 63), so signed order == unsigned order.
+        assert "packed" in first.schema.names, "pack path needs packed col"
+        parts = [b for b in [first, *it] if b.num_rows]
+        if not parts:
+            return
+        n = sum(b.num_rows for b in parts)
+        keys = native._scratch("cat_pk", n)
+        at = 0
+        for b in parts:
+            m = b.num_rows
+            keys[at:at + m] = b.column("packed").to_numpy(
+                zero_copy_only=False
+            )
+            at += m
+        keys.sort()
+        # unpack into the two-column form the shared emit() consumes
+        # (scratch-backed: fresh ~100 MB pages are the expensive
+        # resource on this host class)
+        shift = pack_doc_bits + 8
+        dfn_mask = (1 << shift) - 1
+        tids = native._scratch("cat_tid", n)
+        dfns = native._scratch("cat_dfn", n)
+        np.right_shift(keys, shift, out=tids)
+        np.bitwise_and(keys, dfn_mask, out=dfns)
+        out_batch = emit(
+            pa.RecordBatch.from_arrays(
+                [pa.array(tids, pa.int64()), pa.array(dfns, pa.int64())],
+                names=["term_id", "docfn"],
+            )
+        )
+        yield out_batch.to_pandas() if out_pandas else out_batch
+        return
+
     if presort:
         # the shuffle hands us an UNSORTED hash partition; with
         # fixed-width int columns a numpy lexsort is several times
@@ -687,6 +732,10 @@ def assign_doc_ids(
     # the (key, doc_id) map itself, for callers (keymap write) that
     # would otherwise re-scan the full rows just to project it back out
     joined._pgts_ids = ids
+    # ids are dense 0..n_keys-1: the count doubles as the doc-id bit
+    # budget for the single-cell posting pack (see
+    # _words_segment_dataframes)
+    joined._pgts_n_keys = n_keys
     if validate:
         n_joined = joined.count()
         if n_joined != n_keys:
@@ -828,6 +877,10 @@ def _words_segment_dataframes(
         raw_tokens_column,
     )
 
+    # dense-id count hint from assign_doc_ids (serial head path): lets
+    # the single-cell pack decision below know the doc-id bit budget
+    # without an extra pass
+    n_keys_hint = getattr(docs, "_pgts_n_keys", None)
     toks = raw_tokens_column(F.col(text_col), cfg)
     if cfg.stopwords:
         stops = sorted(cfg.stopwords)
@@ -854,56 +907,100 @@ def _words_segment_dataframes(
     if persisted is not None:
         persisted.append(base)
     vocab_src = base
+    pack_bits: tuple[int, int] | None = None
     if cfg.do_stem:
         # stem the DISTINCT raw vocabulary, not every occurrence: the
         # (raw -> term_id) map is Zipf-small (one UDF call per unique
         # raw token instead of one per token occurrence), and the
         # occurrence stream then picks up its term_id via a JVM hash
-        # join — the stemmer leaves the hot path entirely, and with
-        # xxhash64 downstream no term STRING ever crosses the Arrow
-        # bridge (see postings_from_flat_ids). NO join hint: AQE sees
-        # the materialized vocab stage's size and picks broadcast
-        # (every realistic vocab) vs shuffle (a 100 TB corpus's raw
+        # join — the stemmer leaves the hot path entirely, and no term
+        # STRING ever crosses the Arrow bridge (see
+        # postings_from_flat_ids). NO join hint: AQE sees the
+        # materialized vocab stage's size and picks broadcast (every
+        # realistic vocab) vs shuffle (a 100 TB corpus's raw
         # vocabulary can outgrow the driver) at runtime.
         rawmap = (
             vocab_src.select(F.explode("toks").alias("raw"))
             .distinct()
             .withColumn("term", _stem_udf(cfg)("raw"))
-            .withColumn("term_id", F.xxhash64("term"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         if persisted is not None:
             persisted.append(rawmap)
-        termmap = rawmap.select("term", "term_id").distinct()
         # evaluate the vocabulary EAGERLY, before the main postings
         # action: one vocab-sized agg (a) materializes the rawmap
         # cache every later consumer (occurrence join, termmap,
-        # dictionary) reuses, (b) IS the xxhash64 collision check
-        # (inline here instead of the concurrent validate thread),
-        # and (c) yields the raw-map row count that decides the join
-        # strategy below. Broadcasting the Zipf-small vocab turns the
-        # occurrence-stream join into a map-side probe inside the
-        # explode stage — the plan this replaces re-shuffled the whole
-        # occurrence stream on the raw STRING key (measured 5.6 s wall
-        # / 118 core-s of a 28 s 1M-page build); past the gate the
-        # shuffle join returns.
+        # dictionary) reuses, (b) yields the raw-map row count that
+        # decides the join strategy below, and (c) yields the term
+        # count that decides the TERM-ID ENCODING: when the distinct
+        # terms, the doc ids, and the 8 fieldnorm bits together fit 63
+        # bits, term ids are DENSE ordinals (dense_rank over the
+        # vocab — collision-free by construction, no xxhash64 check
+        # needed) and the whole posting fits ONE int64 cell
+        # (postings_from_flat_ids pack_bits): the 36.7M-row JVM->
+        # Python bridge ships half the cells and the shuffle half the
+        # bytes of the two-column form — the build's measured DRAM
+        # constant. Past the bit budget (10^11-doc x 10^9-term
+        # corpora) or the vocab gate (a single-partition window over
+        # 8M+ rows stops being free), xxhash64 ids + the two-column
+        # stream return, with the loud collision check.
         vstats = rawmap.agg(
             F.count("*").alias("n_raws"),
             F.countDistinct("term").alias("n_terms"),
-            F.countDistinct("term_id").alias("n_ids"),
         ).collect()[0]
-        dict_encode = os.environ.get("PGTS_DICT_ENCODE", "1") != "0"
-        if dict_encode and vstats["n_terms"] != vstats["n_ids"]:
-            raise ValueError(
-                f"term_id collision: {vstats['n_terms']} distinct terms "
-                f"hash to {vstats['n_ids']} distinct xxhash64 ids; "
-                f"rebuild this corpus with PGTS_DICT_ENCODE=0 (the "
-                f"string-keyed postings path — collision-immune)"
-            )
-        join_map = rawmap.select("raw", "term_id")
+        n_terms = int(vstats["n_terms"] or 0)
+        if ids_future is not None:
+            # Future.result() is memoized — the doc-id join below
+            # re-reads the same resolved pair
+            max_doc = ids_future.result()[1] - 1
+        elif n_keys_hint is not None:
+            max_doc = int(n_keys_hint) - 1
+        else:
+            # caller-supplied integer ids: one cached-scan agg (base
+            # was just materialized by the vstats pass)
+            max_doc = base.agg(F.max("doc_id")).collect()[0][0]
+        term_bits = max((n_terms - 1).bit_length(), 1)
+        doc_bits = (
+            max(int(max_doc).bit_length(), 1)
+            if max_doc is not None and max_doc >= 0 else None
+        )
+        pack_ok = (
+            os.environ.get("PGTS_PACK_SINGLE", "1") != "0"
+            and n_terms > 0
+            and doc_bits is not None
+            and term_bits + doc_bits + 8 <= 63
+            and vstats["n_raws"] <= BROADCAST_VOCAB_MAX
+        )
+        if pack_ok:
+            # dense ordinals 0..n_terms-1 in term sort order: a
+            # window over the CACHED vocab (vocab-sized single
+            # partition — inside the gate above). Deterministic under
+            # re-evaluation (pure function of the term set).
+            idmap = rawmap.withColumn(
+                "term_id",
+                (F.dense_rank().over(Window.orderBy("term")) - 1).cast(
+                    "long"
+                ),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            pack_bits = (term_bits, doc_bits)
+            check_df = None  # dense ids cannot collide
+        else:
+            idmap = rawmap.withColumn(
+                "term_id", F.xxhash64("term")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            check_df = idmap  # deferred collision check (concurrent)
+        if persisted is not None:
+            persisted.append(idmap)
+        termmap = idmap.select("term", "term_id").distinct()
+        # Broadcasting the Zipf-small vocab turns the occurrence-
+        # stream join into a map-side probe inside the explode stage
+        # — the plan this replaces re-shuffled the whole occurrence
+        # stream on the raw STRING key (measured 5.6 s wall / 118
+        # core-s of a 28 s 1M-page build); past the gate the shuffle
+        # join returns.
+        join_map = idmap.select("raw", "term_id")
         if vstats["n_raws"] <= BROADCAST_VOCAB_MAX:
             join_map = F.broadcast(join_map)
-        check_df = None  # collision check already done, inline above
     else:
         join_map = None  # term_id computed inline on occurrences
         termmap = (
@@ -963,7 +1060,7 @@ def _words_segment_dataframes(
     )
     return (
         postings_from_flat_ids(flat, termmap, n_buckets, codec,
-                               validate=validate),
+                               validate=validate, pack_bits=pack_bits),
         doclen,
     )
 
@@ -1066,6 +1163,7 @@ def postings_from_flat_ids(
     codec: str = "bitpack",
     validate=None,
     arrow_batch: int | None = BUILD_ARROW_BATCH,
+    pack_bits: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Dictionary-encoded ``postings_from_flat`` — the bulk build's
     hot path (round-5 headline: close the single-node build constant).
@@ -1099,6 +1197,75 @@ def postings_from_flat_ids(
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if validate is None:
         validate = _collision_check(termmap)
+
+    if pack_bits is not None:
+        # SINGLE-CELL stream: term_id | doc_id | fieldnorm in disjoint
+        # bit fields of ONE int64 (caller guarantees dense collision-
+        # free term ids and supplies the exact bit budget). The JVM
+        # ArrowWriter bridge cost is per-CELL and the 36.7M-row stream
+        # is the build's DRAM constant (BASELINE.md decomposition):
+        # one cell/row halves it vs the (term_id, docfn) pair, the
+        # shuffle ships half the bytes, and the kernel sorts ONE key.
+        # The shuffle key packed >> (RUN_SHIFT+8) is constant within a
+        # (term, run) group (it IS term_id<<k | run when doc_bits >
+        # RUN_SHIFT; distinct groups may share a reducer — grouping
+        # correctness lives in the kernel's boundary scan, not the
+        # partitioner). tf never appears here: the words path ships
+        # occurrences and the kernel's segmented sum counts them.
+        assert "tf" not in flat.columns, "pack_bits is occurrence-only"
+        term_bits, doc_bits = pack_bits
+        assert term_bits + doc_bits + 8 <= 63
+        # loud range guard: out-of-budget ids would silently corrupt
+        # neighbouring bit fields (same rationale as guarded_id below)
+        bad = (
+            (F.col("term_id") < 0)
+            | (F.col("term_id") >= F.lit(1 << term_bits))
+            | (F.col("doc_id") < 0)
+            | (F.col("doc_id") >= F.lit(1 << doc_bits))
+        )
+        packed_expr = (
+            F.shiftleft(F.col("term_id"), doc_bits + 8)
+            .bitwiseOR(F.shiftleft(F.col("doc_id"), 8))
+            .bitwiseOR(F.col("fieldnorm").cast("long"))
+        )
+        slim = flat.select(
+            F.when(
+                bad,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "postings_from_flat_ids: (term_id, doc_id)"
+                            " outside the packed bit budget "
+                            f"({term_bits}+{doc_bits}+8): "
+                        ),
+                        F.col("term_id").cast("string"),
+                        F.lit(", "),
+                        F.col("doc_id").cast("string"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(packed_expr)
+            .alias("packed")
+        )
+
+        def rows_packed(batches):
+            yield from _postings_arrow(
+                batches, codec, presort=True, pack_doc_bits=doc_bits
+            )
+
+        posting_rows = slim.repartition(
+            n_shuffle, F.shiftright("packed", RUN_SHIFT + 8)
+        ).mapInArrow(rows_packed, _POSTINGS_ROW_SCHEMA_IDS)
+        joined = posting_rows.join(
+            termmap.select("term_id", "term"), "term_id"
+        )
+        out = joined.withColumn(
+            "bucket", term_bucket_expr(F.col("term"), n_buckets)
+        ).select("term", "run", "df_run", "blocks", "bucket")
+        if arrow_batch:
+            out._pgts_arrow_batch = int(arrow_batch)
+        out._pgts_validate = validate
+        return out
 
     def rows(batches):
         yield from _postings_arrow(batches, codec, presort=True)

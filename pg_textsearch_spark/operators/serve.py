@@ -596,6 +596,17 @@ class ServePool:
         #: two-choice routing (dispatch increments, drain decrements)
         self._outstanding = [0] * self.n_workers
         self._qid_worker: dict[int, int] = {}
+        #: one dispatcher at a time: all workers answer into the ONE
+        #: shared _res_q, so two concurrent search_many calls would
+        #: drain each other's qids (A discards B's results as "stale"
+        #: and B blocks forever). The lock turns that wedge into
+        #: serialization — concurrent callers queue, results stay
+        #: correct. High-QPS multi-client use should batch queries
+        #: into search_many (that IS the tier's throughput shape)
+        #: rather than fan out threads over one pool.
+        import threading as _threading
+
+        self._dispatch_lock = _threading.Lock()
 
     def route(self, query: str) -> int:
         """Two-choice sticky routing: the less-loaded of the query's
@@ -616,7 +627,16 @@ class ServePool:
     def search_many(self, queries: list[str], k: int = 10) -> list:
         """Dispatch a batch across the sticky shards, gather results
         in input order. Per-worker execution is serial (one process,
-        one cache); across workers it is parallel."""
+        one cache); across workers it is parallel.
+
+        Thread-safe via ``_dispatch_lock``: only one dispatcher drains
+        the shared result queue at a time (see the lock's comment);
+        concurrent callers serialize instead of stealing each other's
+        results."""
+        with self._dispatch_lock:
+            return self._search_many_locked(queries, k)
+
+    def _search_many_locked(self, queries: list[str], k: int) -> list:
         pending = {}
         shard_counts = [0] * self.n_workers
         for i, q in enumerate(queries):

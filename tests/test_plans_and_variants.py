@@ -229,6 +229,56 @@ def test_string_keyed_build_fallback_matches_pg_config(
     assert da == db
 
 
+def test_single_cell_pack_build_matches_unpacked(
+    spark, tmp_path, monkeypatch
+):
+    """The single-int64 packed posting stream (dense term ids x dense
+    doc ids x fieldnorm in one cell — the round-6 bridge/shuffle
+    halving) must write a BYTE-IDENTICAL segment to the two-column
+    xxhash64 path it replaces inside the bit-budget gate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = [
+        (f"u{i:04d}", f"alpha running t{i % 19} beta t{i % 5} gamma")
+        for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    d_a = str(tmp_path / "pk")
+    d_b = str(tmp_path / "un")
+    build_index(spark, docs, d_a, key_col="url", text_col="text",
+                config="english", n_buckets=4)  # packed (default)
+    monkeypatch.setenv("PGTS_PACK_SINGLE", "0")
+    build_index(spark, docs, d_b, key_col="url", text_col="text",
+                config="english", n_buckets=4)
+    monkeypatch.delenv("PGTS_PACK_SINGLE")
+
+    def posting_rows(d):
+        out = []
+        pat = d + "/postings/seg=0/**/*.parquet"
+        for f in sorted(glob.glob(pat, recursive=True)):
+            for r in pq.read_table(f).to_pylist():
+                out.append((
+                    r["term"], r["run"], r["df_run"],
+                    tuple(
+                        (b["last_doc_id"], b["doc_count"],
+                         b["block_max_tf"], b["block_max_norm"],
+                         bytes(b["payload"]))
+                        for b in r["blocks"]
+                    ),
+                ))
+        return sorted(out)
+
+    assert posting_rows(d_a) == posting_rows(d_b)
+    a, b = BM25Index(spark, d_a), BM25Index(spark, d_b)
+    ra = [(r["doc_id"], round(r["score"], 9))
+          for r in topk_exhaustive(a, "alpha t3", 10).collect()]
+    rb = [(r["doc_id"], round(r["score"], 9))
+          for r in topk_exhaustive(b, "alpha t3", 10).collect()]
+    assert ra == rb and len(ra) == 10
+
+
 def test_local_topk_df_rejects_non_finite(spark):
     """A non-finite score would render as a bare inf/nan token and
     fail SQL analysis as an unresolved identifier; the helper must
