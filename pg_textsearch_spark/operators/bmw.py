@@ -822,19 +822,54 @@ BOOTSTRAP_MIN_POSTINGS = 10_000_000
 SMALL_QUERY_POSTINGS = 500_000
 
 #: concurrent driver-side small-query scorings admitted before the
-#: dispatcher falls back to the distributed plan. The driver path is
-#: ~2.5x lower latency for one caller, but its per-query work (plan
-#: build, row pickling, kernel) holds the GIL — 16 threads all taking
-#: it measured LOWER aggregate throughput (7.5 q/s) than 16 on the
-#: distributed plan (13-14 q/s), whose execution parallelizes in the
-#: JVM and workers. A non-blocking semaphore keeps the fast path for
-#: light concurrency and spills the overflow to the cluster — the
-#: same latency-vs-throughput fork a cost-based planner takes under
-#: load. (True high-QPS serving belongs to the serve tier regardless:
-#: ServePool does 3.5k q/s on the same index.)
+#: dispatcher overflows. The driver path is low-latency for one
+#: caller, but its per-query work (plan build, row pickling, kernel)
+#: holds the GIL ~0.13 s — 16 threads all taking it measured LOWER
+#: aggregate throughput (7.5 q/s) than 16 on the distributed plan
+#: (13-14 q/s). ONE slot (round 6): the solo caller keeps the fast
+#: path (latency unchanged), and ANY concurrent small query overflows
+#: to the in-process SERVING kernel (_serve_overflow — GIL-releasing
+#: pyarrow reads, warm answers in ~1-15 ms, so callers genuinely
+#: parallelize; 4 slots measured 14.8 q/s at 16 clients because every
+#: freed slot re-admitted a 0.13 s GIL-holder). Distributed plan
+#: remains the overflow where serving is unavailable.
 _DRIVER_SCORE_SLOTS = threading.BoundedSemaphore(
-    int(os.environ.get("PGTS_DRIVER_SCORE_SLOTS", "4"))
+    int(os.environ.get("PGTS_DRIVER_SCORE_SLOTS", "1"))
 )
+
+#: per-BM25Index serving handles for the contended-small-query
+#: overflow (see topk_bmw) — keyed by id(index) with the index's
+#: stamp, so deletes/merges invalidate. A WeakValueDictionary-free
+#: plain dict is fine: entries are tiny (file-handle caches) and the
+#: set of live indexes per driver is small.
+_SERVE_OVERFLOW_CACHE: dict[int, tuple] = {}
+_SERVE_OVERFLOW_LOCK = threading.Lock()
+
+
+def _serve_overflow(index, query: str, k: int):
+    """Score a contended small query on the in-process serving kernel
+    (operators/serve.py). Returns (rank, doc_id, score) rows, or None
+    when the serving path is unavailable — caller falls back to the
+    distributed plan. Results are contract-identical to topk_bmw
+    (same kernels, same tie-break; oracle gate bm25_topk_serve)."""
+    if os.environ.get("PGTS_BMW_SERVE_OVERFLOW", "1") == "0":
+        return None
+    from pg_textsearch_spark.operators.serve import ServingIndex, topk_serve
+
+    try:
+        stamp = index._stamp()
+        with _SERVE_OVERFLOW_LOCK:
+            cached = _SERVE_OVERFLOW_CACHE.get(id(index))
+            if cached is not None and cached[0] == stamp:
+                sv = cached[1]
+            else:
+                sv = ServingIndex(index)
+                _SERVE_OVERFLOW_CACHE[id(index)] = (stamp, sv)
+        return topk_serve(index, query, k, _serving=sv)
+    except OSError:
+        # store not readable from this process (e.g. a non-local
+        # SegmentStore): the distributed plan is the right path
+        return None
 
 
 def topk_bmw(
@@ -970,9 +1005,7 @@ def topk_bmw(
         per_run = pruned.mapInPandas(
             score_partition, "doc_id bigint, score double"
         )
-    elif total_postings <= small_cut and _DRIVER_SCORE_SLOTS.acquire(
-        blocking=False
-    ):
+    elif total_postings <= small_cut:
         # small query (single- or multi-term): the pruned scan is the
         # only data-touching work (row-group-pruned parquet read, its
         # volume bounded by small_cut postings — ~1 MB of encoded
@@ -984,32 +1017,56 @@ def topk_bmw(
         # measured 0.28 s for a trivial one-task mapInPandas vs 0.11 s
         # for the bare JVM scan+collect (1M-page index, warm). Scores,
         # tie-break, and the (rank, doc_id, score) contract are
-        # identical; past small_cut (or with all driver slots busy —
-        # see _DRIVER_SCORE_SLOTS) the distributed plans take over, so
-        # driver memory and GIL pressure stay bounded.
-        try:
-            # collected block structs are Rows — field-indexable
-            # exactly like the dicts the Arrow path hands the kernel
-            rows_pd = pd.DataFrame(
-                [(r["term"], r["run"], r["blocks"])
-                 for r in pruned.collect()],
-                columns=["term", "run", "blocks"],
-            )
-            out = (
-                score_run(rows_pd)
-                if len(rows_pd)
-                else pd.DataFrame({"doc_id": [], "score": []})
-            )
-        finally:
-            _DRIVER_SCORE_SLOTS.release()
-        order = sorted(
-            zip(out["doc_id"].tolist(), out["score"].tolist()),
-            key=lambda t: (-t[1], t[0]),
-        )[:kk]
-        from pg_textsearch_spark.operators.serve import local_topk_df
+        # identical; past small_cut the distributed plans take over,
+        # so driver memory stays bounded.
+        if _DRIVER_SCORE_SLOTS.acquire(blocking=False):
+            try:
+                # collected block structs are Rows — field-indexable
+                # exactly like the dicts the Arrow path hands the
+                # kernel
+                rows_pd = pd.DataFrame(
+                    [(r["term"], r["run"], r["blocks"])
+                     for r in pruned.collect()],
+                    columns=["term", "run", "blocks"],
+                )
+                out = (
+                    score_run(rows_pd)
+                    if len(rows_pd)
+                    else pd.DataFrame({"doc_id": [], "score": []})
+                )
+            finally:
+                _DRIVER_SCORE_SLOTS.release()
+            order = sorted(
+                zip(out["doc_id"].tolist(), out["score"].tolist()),
+                key=lambda t: (-t[1], t[0]),
+            )[:kk]
+            from pg_textsearch_spark.operators.serve import local_topk_df
 
-        return local_topk_df(
-            spark, [(i + 1, d, s) for i, (d, s) in enumerate(order)]
+            return local_topk_df(
+                spark, [(i + 1, d, s) for i, (d, s) in enumerate(order)]
+            )
+        # driver slots contended (>4 concurrent small queries): route
+        # the overflow through the in-process SERVING kernel — same
+        # index files, same scoring kernels, results oracle-gated
+        # identical (gate bm25_topk_serve) — instead of the
+        # distributed plan. The driver path's per-query work (plan
+        # build + row pickling) holds the GIL ~0.13 s, so 16 threads
+        # taking it measured LOWER aggregate throughput than the
+        # cluster plan (BENCH_r05 "concurrent": 10.7 q/s); the serve
+        # kernel answers warm small queries in ~1-15 ms with
+        # GIL-releasing pyarrow reads, so concurrent callers genuinely
+        # parallelize. This is the cost-based fork a serving planner
+        # takes under load: concurrent small queries belong on the
+        # local kernel, not the cluster scheduler. Falls back to the
+        # distributed plan when the serving read path is unavailable
+        # (non-local store) or disabled (PGTS_BMW_SERVE_OVERFLOW=0).
+        rows = _serve_overflow(index, query, kk)
+        if rows is not None:
+            from pg_textsearch_spark.operators.serve import local_topk_df
+
+            return local_topk_df(spark, rows)
+        per_run = pruned.groupBy("run").applyInPandas(
+            score_run, "doc_id bigint, score double"
         )
     else:
         per_run = pruned.groupBy("run").applyInPandas(

@@ -383,24 +383,30 @@ def test_topk_filtered_doc_key_requires_keymap(zipf_index):
         topk_filtered(zipf_index, "w0", allowed, k=5, on="doc_key")
 
 
-def test_small_query_fallback_when_driver_slots_busy(zipf_index):
+def test_small_query_fallback_when_driver_slots_busy(zipf_index, monkeypatch):
     """With every driver-side scoring slot held, a small query must
-    take the distributed plan and return identical results — the
-    concurrency spill path (see bmw._DRIVER_SCORE_SLOTS)."""
+    return identical results via BOTH overflow paths: the in-process
+    serving kernel (default) and the distributed plan
+    (PGTS_BMW_SERVE_OVERFLOW=0) — see bmw._DRIVER_SCORE_SLOTS /
+    bmw._serve_overflow."""
     from pg_textsearch_spark.operators import bmw as bmw_mod
 
     query = topk_exhaustive(zipf_index, "t3 t7", 5).collect()
     fast = topk_bmw(zipf_index, "t3 t7", 5).collect()
-    # exhaust the slots, then query again: same rows via the spill path
+    # exhaust the slots, then query again under each overflow mode
     held = 0
     while bmw_mod._DRIVER_SCORE_SLOTS.acquire(blocking=False):
         held += 1
     try:
+        served = topk_bmw(zipf_index, "t3 t7", 5).collect()
+        monkeypatch.setenv("PGTS_BMW_SERVE_OVERFLOW", "0")
         spilled = topk_bmw(zipf_index, "t3 t7", 5).collect()
+        monkeypatch.delenv("PGTS_BMW_SERVE_OVERFLOW")
     finally:
         for _ in range(held):
             bmw_mod._DRIVER_SCORE_SLOTS.release()
     assert held >= 1
-    assert [(r["doc_id"],) for r in spilled] == [(r["doc_id"],) for r in fast]
-    for a, b in zip(spilled, query):
-        assert abs(a["score"] - b["score"]) <= 1e-9
+    for got in (served, spilled):
+        assert [(r["doc_id"],) for r in got] == [(r["doc_id"],) for r in fast]
+        for a, b in zip(got, query):
+            assert abs(a["score"] - b["score"]) <= 1e-9
