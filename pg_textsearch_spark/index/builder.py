@@ -1018,8 +1018,10 @@ def _words_segment_dataframes(
         # above ran. One doc-level join (probe per DOC row, before the
         # explode): broadcast keeps the token arrays where they were
         # computed; past the driver-sized gate the shuffle join is the
-        # plan the serial path ran anyway.
-        ids, n_keys = ids_future.result()
+        # plan the serial path ran anyway. (result may carry a third
+        # element — the raw (key, doc_id) map for the keymap writer.)
+        res = ids_future.result()
+        ids, n_keys = res[0], res[1]
         if n_keys <= BROADCAST_IDS_MAX:
             base = base.join(F.broadcast(ids), doc_id_col)
         else:
@@ -1542,6 +1544,30 @@ class IndexWriter:
         return manifest
 
 
+def _hashed_ids_map(
+    df: DataFrame, key_col: str, persisted: list | None
+) -> tuple[DataFrame, int, DataFrame]:
+    """(hkey -> doc_id) join side for the hash-keyed overlapped head
+    phase: the ids job keyed by ``xxhash64(key)`` so the tokenized
+    base caches an INT key instead of the key string — the round-5
+    string-keyed overlap lost precisely because every downstream pass
+    re-paid wider cached rows + string hash probes. Runs ON the ids
+    worker thread; also verifies hash uniqueness (a collision would
+    silently merge two documents' ids) and fails loudly with the
+    serial fallback named. Returns (hash-keyed ids, n_keys, raw
+    (key, doc_id) map for the keymap writer)."""
+    ids, n_keys = _ids_map(df.select(key_col), key_col, "doc_id", persisted)
+    hids = ids.select(F.xxhash64(key_col).alias("_pgts_hkey"), "doc_id")
+    n_h = hids.agg(F.countDistinct("_pgts_hkey").alias("n")).collect()[0]["n"]
+    if n_h != n_keys:
+        raise ValueError(
+            f"xxhash64 key collision: {n_keys} distinct {key_col} values "
+            f"hash to {n_h} distinct keys; rebuild with "
+            f"PGTS_HASH_OVERLAP=0 (the serial string-keyed head phase)"
+        )
+    return hids, n_keys, ids
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -1573,20 +1599,18 @@ def build_index(
         ids_future = None
         ids_df = None
         overlap = os.environ.get("PGTS_OVERLAP_HEAD", "0") == "1"
+        hash_overlap = (
+            key_col is not None and cfg.parser != "pg" and not overlap
+            and os.environ.get("PGTS_HASH_OVERLAP", "0") == "1"
+        )
         if key_col is not None and cfg.parser != "pg" and overlap:
-            # overlapped head phase (words configs): the key-only
-            # doc-id job and the tokenize/vocabulary pass touch
-            # disjoint columns, so the ids job runs on a worker thread
-            # while the main thread materializes the tokenized base;
-            # they meet at one doc-level join. MEASURED SLOWER than
-            # the serial path (interleaved A/B, 3 passes each, 1M
-            # pages: median 24.2 s vs 20.8 s): the base cache must
-            # then be keyed by the URL STRING (wider cached rows) and
-            # every downstream pass (doclen, explode) re-pays the
-            # string-keyed broadcast probe the serial plan pays once,
-            # inside the materialization scan — costs that exceed the
-            # ~2 s of hidden ids-job wall. Kept behind this env gate
-            # as the documented negative result; default stays serial.
+            # STRING-keyed overlapped head phase — the round-5
+            # experiment, MEASURED SLOWER than serial (24.2 s vs
+            # 20.8 s at 1M pages): the base cache gets keyed by the
+            # URL STRING (wider cached rows) and every downstream pass
+            # re-pays the string-keyed broadcast probe. Kept behind
+            # PGTS_OVERLAP_HEAD=1 as the documented negative result;
+            # the hash-keyed variant below is the production path.
             from concurrent.futures import ThreadPoolExecutor
 
             raw_docs = docs.select(key_col, text_col)
@@ -1599,6 +1623,40 @@ def build_index(
                 codec=codec, persisted=persisted, ids_future=ids_future,
             )
             ids_df = ids_future.result()[0]
+            doc_id_col = "doc_id"
+        elif hash_overlap:
+            # HASH-keyed overlapped head phase (round 6,
+            # PGTS_HASH_OVERLAP=1): the key-only doc-id job runs on a
+            # worker thread while the main thread tokenizes and
+            # materializes the base, keyed by xxhash64(key) (one
+            # int64 in the cache; int hash probes) — fixing exactly
+            # what made the string-keyed variant above lose. MEASURED
+            # A WASH at 1M pages/32c (20.8-21.0 s vs 20.4 s serial,
+            # postings byte-identical): the hidden ~1 s ids job is
+            # repaid by the doclen/keymap jobs re-running the
+            # hash-join probe over the cached base (serial mode bakes
+            # doc_id into the cache: doclen_sec 0.5 s vs 2.5-3.3 s
+            # here). Kept opt-in as the second documented
+            # overlap-experiment result; hash uniqueness is verified
+            # on the ids thread (loud failure naming the fallback).
+            from concurrent.futures import ThreadPoolExecutor
+
+            raw_docs = docs.select(key_col, text_col)
+            hdocs = raw_docs.select(
+                F.xxhash64(key_col).alias("_pgts_hkey"), text_col
+            )
+            ids_pool = ThreadPoolExecutor(max_workers=1)
+            ids_future = ids_pool.submit(
+                _hashed_ids_map, raw_docs, key_col, persisted
+            )
+            t0 = time.time()
+            postings, doclen = build_segment_dataframes(
+                hdocs, "_pgts_hkey", text_col, cfg, n_buckets,
+                codec=codec, persisted=persisted, ids_future=ids_future,
+            )
+            if metrics is not None:
+                metrics["plan_sec"] = round(time.time() - t0, 3)
+            ids_df = ids_future.result()[2]
             doc_id_col = "doc_id"
         else:
             if key_col is not None:

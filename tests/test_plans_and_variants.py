@@ -279,6 +279,48 @@ def test_single_cell_pack_build_matches_unpacked(
     assert ra == rb and len(ra) == 10
 
 
+def test_hash_overlap_head_matches_serial(spark, tmp_path, monkeypatch):
+    """PGTS_HASH_OVERLAP=1 (the hash-keyed overlapped head phase —
+    documented wash at bench scale, kept opt-in) must produce an
+    identical index to the serial default."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = [(f"u{i:04d}", f"alpha t{i % 13} beta t{i % 4}")
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    d_a = str(tmp_path / "ser")
+    d_b = str(tmp_path / "ho")
+    build_index(spark, docs, d_a, key_col="url", text_col="text",
+                config="english", n_buckets=4)
+    monkeypatch.setenv("PGTS_HASH_OVERLAP", "1")
+    build_index(spark, docs, d_b, key_col="url", text_col="text",
+                config="english", n_buckets=4)
+    monkeypatch.delenv("PGTS_HASH_OVERLAP")
+
+    def rows_of(d, table):
+        out = []
+        for f in sorted(glob.glob(f"{d}/{table}/seg=0/**/*.parquet",
+                                  recursive=True)):
+            out += [tuple(
+                bytes(v) if isinstance(v, (bytes, bytearray)) else (
+                    tuple(tuple(sorted(b.items(), key=lambda kv: kv[0]))
+                          if isinstance(b, dict) else b for b in v)
+                    if isinstance(v, list) else v)
+                for v in r.values()
+            ) for r in pq.read_table(f).to_pylist()]
+        return sorted(map(str, out))
+
+    assert rows_of(d_a, "keymap") == rows_of(d_b, "keymap")
+    a, b = BM25Index(spark, d_a), BM25Index(spark, d_b)
+    ra = [(r["doc_id"], round(r["score"], 9))
+          for r in topk_exhaustive(a, "alpha t2", 10).collect()]
+    rb = [(r["doc_id"], round(r["score"], 9))
+          for r in topk_exhaustive(b, "alpha t2", 10).collect()]
+    assert ra == rb and len(ra) == 10
+
+
 def test_local_topk_df_rejects_non_finite(spark):
     """A non-finite score would render as a bare inf/nan token and
     fail SQL analysis as an unresolved identifier; the helper must
