@@ -251,6 +251,7 @@ def main() -> None:
                 round((tn / t4) / ratio, 3)
                 for tn, t4 in zip(samples["n"], samples["4n"])
             ]
+            eff = round(statistics.median(pair_effs), 3)
             return {
                 "pages_docs": N_PAGES,
                 "cores_n": n_small,
@@ -259,12 +260,20 @@ def main() -> None:
                 "samples_sec_4n": [round(s, 2) for s in samples["4n"]],
                 "docs_per_sec_n": round(N_PAGES / med["n"], 1),
                 "docs_per_sec_4n": round(N_PAGES / med["4n"], 1),
-                "efficiency": round(statistics.median(pair_effs), 3),
+                "efficiency": eff,
                 "efficiency_pairs": pair_effs,
                 "efficiency_of_medians": round(
                     (med["n"] / med["4n"]) / ratio, 3
                 ),
                 "efficiency_min": round((mn["n"] / mn["4n"]) / ratio, 3),
+                # software scaling relative to the box's own memory-bus
+                # scaling measured the same hour (the membw probe): the
+                # quantity a real cluster — where 4N executors bring 4N
+                # memory buses — would observe. Disclosed ALONGSIDE the
+                # raw number, never in place of it.
+                "efficiency_bus_normalized": round(
+                    min(eff / ceilings["membw"], 1.0), 3
+                ) if ceilings["membw"] else None,
                 "hw_ceiling": ceilings,
                 "med_n": med["n"],
                 "med_4n": med["4n"],
@@ -775,7 +784,8 @@ def main() -> None:
     scaling = _q(
         "scaling", "cores_n", "cores_4n", "docs_per_sec_n",
         "docs_per_sec_4n", "efficiency", "efficiency_pairs",
-        "efficiency_min", "hw_ceiling", "attempts",
+        "efficiency_min", "efficiency_bus_normalized", "hw_ceiling",
+        "attempts",
     )
     if scaling:
         compact["scaling"] = scaling
