@@ -221,12 +221,12 @@ def main() -> None:
                 )
             return ceilings
 
-        def scaling_block() -> dict:
+        def scaling_block(n_pairs: int = SCALE_PAIRS) -> dict:
             """One alternating-pairs measurement block, PRECEDED by
             the hardware-ceiling probe (the epoch gate)."""
             ceilings = hw_ceilings()
             samples: dict[str, list[float]] = {"n": [], "4n": []}
-            for _pair in range(SCALE_PAIRS):
+            for _pair in range(n_pairs):
                 for cores, key in ((n_small, "n"), (n_big, "4n")):
                     proc = subprocess.run(
                         [sys.executable, os.path.abspath(__file__)],
@@ -289,7 +289,12 @@ def main() -> None:
         # every attempt is recorded below.
         attempts: list[dict] = []
         for att in range(max(SCALE_ATTEMPTS, 1)):
-            blk = scaling_block()
+            # retry attempts run half the pairs: they exist to sample a
+            # different epoch, and the pair-median is already stable at
+            # 2 pairs — bounding the whole bench's worst-case wall
+            blk = scaling_block(
+                SCALE_PAIRS if att == 0 else max(2, SCALE_PAIRS // 2)
+            )
             attempts.append(blk)
             total += blk["wall"]
             if blk["hw_ceiling"]["membw"] >= SCALE_MEMBW_OK:
