@@ -21,7 +21,10 @@ Sections:
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_PAGES (scaling corpus size, default 100000),
-     SPARK_GRAFT_SKIP_SCALING=1 to skip the two-session scaling run.
+     SPARK_GRAFT_SKIP_SCALING=1 to skip the two-session scaling run,
+     SPARK_GRAFT_EPOCH_GATE=0 to skip the whole-bench epoch gate
+     (SPARK_GRAFT_EPOCH_WAIT_SEC / _POLL_SEC tune its wait loop),
+     SPARK_GRAFT_4M_DOCS=0 to skip the 4M-page build row.
 """
 
 from __future__ import annotations
@@ -145,6 +148,16 @@ def main() -> None:
     extra: dict = {}
     total = 0.0
 
+    # pre-flight epoch gate for the ENTIRE bench (see _epoch_gate):
+    # wait for a DRAM epoch in which the box's own hardware probe can
+    # scale before recording anything. The gate's probe history is
+    # part of the artifact.
+    gate = _epoch_gate()
+    extra["epoch_gate"] = gate
+    # gate wait (mostly sleep) is recorded in epoch_gate.waited_sec but
+    # kept OUT of the headline metric: "value" stays comparable across
+    # rounds as measured bench work, not wall spent waiting for DRAM
+
     # ---- scaling section (one subprocess per cluster size) ----
     # Each measurement runs in a fresh process: a second SparkContext
     # in a reused JVM measures 3-5x slower (observed), poisoning the
@@ -188,43 +201,10 @@ def main() -> None:
         ratio = n_big / n_small
         extra["scaling_cores"] = {"n": n_small, "4n": n_big}
 
-        def hw_ceilings() -> dict:
-            # hardware ceiling: the same fixed numpy workload (sized
-            # like the build's Arrow/numpy batches — memory-bandwidth-
-            # bound like the real kernels) on N vs 4N INDEPENDENT
-            # processes. On this shared-memory box, 4x the processes
-            # do NOT get 4x the memory bandwidth, so even perfectly-
-            # scaling software caps below 1.0; on a real cluster 4x
-            # executors bring 4x bandwidth and this artifact vanishes.
-            # Task-level evidence that the SOFTWARE scales: stage
-            # utilization is 0.93-0.96 at 8 cores with no stragglers
-            # (event-log audit, BASELINE.md round 4).
-            import multiprocessing as mp
-
-            ctx = mp.get_context("spawn")
-            ceilings: dict[str, float] = {}
-            for probe_name, probe in (
-                ("membw", _hw_probe_membw), ("cpu", _hw_probe_cpu)
-            ):
-                hw: dict[int, float] = {}
-                for n in (n_small, n_big):
-                    # same CPU confinement as the build children
-                    with ctx.Pool(n, _pin_cpus, (n,)) as pool:
-                        pool.map(probe, range(n))  # spawn+import warm
-                        t0 = time.time()
-                        # 6 full waves per side: short probes are
-                        # hostage to turbo/background noise; amortize
-                        pool.map(probe, range(n * 6))
-                        hw[n] = (n * 6) / (time.time() - t0)
-                ceilings[probe_name] = round(
-                    (hw[n_big] / hw[n_small]) / ratio, 3
-                )
-            return ceilings
-
         def scaling_block(n_pairs: int = SCALE_PAIRS) -> dict:
             """One alternating-pairs measurement block, PRECEDED by
             the hardware-ceiling probe (the epoch gate)."""
-            ceilings = hw_ceilings()
+            ceilings = _hw_ceilings(n_small, n_big)
             samples: dict[str, list[float]] = {"n": [], "4n": []}
             for _pair in range(n_pairs):
                 for cores, key in ((n_small, "n"), (n_big, "4n")):
@@ -289,12 +269,12 @@ def main() -> None:
         # every attempt is recorded below.
         attempts: list[dict] = []
         for att in range(max(SCALE_ATTEMPTS, 1)):
-            # retry attempts run half the pairs: they exist to sample a
-            # different epoch, and the pair-median is already stable at
-            # 2 pairs — bounding the whole bench's worst-case wall
-            blk = scaling_block(
-                SCALE_PAIRS if att == 0 else max(2, SCALE_PAIRS // 2)
-            )
+            # retry attempts run the FULL pair width (round-6 verdict:
+            # the halved 2-pair retry produced pair efficiencies
+            # 0.618/1.014 — variance too wide to support any
+            # conclusion; a retry that can't carry the headline is
+            # wasted wall)
+            blk = scaling_block(SCALE_PAIRS)
             attempts.append(blk)
             total += blk["wall"]
             if blk["hw_ceiling"]["membw"] >= SCALE_MEMBW_OK:
@@ -379,6 +359,25 @@ def main() -> None:
     extra["pg_english_1m_docs_per_sec"] = round(N_LATENCY_DOCS / pg_sec, 1)
     total += pg_sec
     shutil.rmtree(pg_dir, ignore_errors=True)
+
+    # 4M-page build: the reference's ~130k docs/s is measured at 138M
+    # docs, where its per-build fixed costs vanish; at 1M docs this
+    # engine's ~11-13 s of fixed driver/stage machinery (event-log
+    # decomposition, BASELINE.md round 6) is ~half the wall. 4x the
+    # corpus amortizes those constants 4x — the comparable
+    # large-corpus throughput point this box can hold in memory+disk
+    # (round-6 verdict task #3). SPARK_GRAFT_4M_DOCS=0 skips.
+    n_4m = int(os.environ.get("SPARK_GRAFT_4M_DOCS", "4000000"))
+    if n_4m:
+        pages_4m = _prepare_pages(spark, n_4m)
+        dir_4m = "/tmp/pgts_bench_4m"
+        sec_4m = _build_pages(spark, pages_4m, dir_4m)
+        results["build_pages_4m"] = round(sec_4m, 3)
+        extra["pages_4m_docs_per_sec"] = round(n_4m / sec_4m, 1)
+        extra["pages_4m_docs"] = n_4m
+        total += sec_4m
+        shutil.rmtree(dir_4m, ignore_errors=True)
+        shutil.rmtree(pages_4m, ignore_errors=True)  # ~GBs of /tmp
 
     idx = BM25Index(spark, idx_dir)
     idx.prewarm()  # dictionary pinned in memory (resident-dict analog)
@@ -782,10 +781,14 @@ def main() -> None:
     }
     for k in (
         "documents_docs_per_sec", "pages_1m_docs_per_sec",
-        "pg_english_1m_docs_per_sec", "batch_queries_per_sec",
+        "pages_4m_docs_per_sec", "pg_english_1m_docs_per_sec",
+        "batch_queries_per_sec",
     ):
         if k in extra:
             compact[k] = extra[k]
+    compact["epoch_gate"] = {
+        k: gate[k] for k in ("cleared", "membw", "waited_sec", "n_probes")
+    }
     scaling = _q(
         "scaling", "cores_n", "cores_4n", "docs_per_sec_n",
         "docs_per_sec_4n", "efficiency", "efficiency_pairs",
@@ -812,9 +815,31 @@ def main() -> None:
             "head_heavy_p95_ms": tc["head_heavy"]["p95_ms"],
             "scattered_p95_ms": tc["scattered"]["p95_ms"],
         }
-    line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
-    print(line)
+    # fit the driver's recorded-stdout budget by DROPPING optional
+    # detail fields, never by dying: an AssertionError here (after the
+    # multi-hour bench) would lose the whole recorded line while the
+    # full JSON file survives unread (round-6 advice). Drop order:
+    # diagnostics first, headline numbers never.
+    def _fit(line_budget: int = 1900) -> str:
+        drop_order = (
+            ("scaling", "efficiency_pairs"),
+            ("scaling", "hw_ceiling"),
+            ("scaling", "efficiency_min"),
+            ("serve_pool_two_choice", None),
+            ("epoch_gate", None),
+        )
+        line = json.dumps(compact, separators=(",", ":"))
+        for sec, key in drop_order:
+            if len(line) < line_budget:
+                break
+            if key is None:
+                compact.pop(sec, None)
+            elif isinstance(compact.get(sec), dict):
+                compact[sec].pop(key, None)
+            line = json.dumps(compact, separators=(",", ":"))
+        return line
+
+    print(_fit())
 
 
 _POOL_SV = None
@@ -876,6 +901,84 @@ def _pool_serve(queries: list[str]) -> int:
         topk_serve(li, q, 10, _serving=sv)
         n += 1
     return n
+
+
+def _hw_ceilings(n_small: int, n_big: int) -> dict:
+    """Hardware ceiling: the same fixed numpy workload (sized like the
+    build's Arrow/numpy batches — memory-bandwidth-bound like the real
+    kernels) on N vs 4N INDEPENDENT processes. On this shared-memory
+    box, 4x the processes do NOT get 4x the memory bandwidth, so even
+    perfectly-scaling software caps below 1.0; on a real cluster 4x
+    executors bring 4x bandwidth and this artifact vanishes.
+    Task-level evidence that the SOFTWARE scales: stage utilization is
+    0.93-0.96 at 8 cores with no stragglers (event-log audit,
+    BASELINE.md round 4)."""
+    import multiprocessing as mp
+
+    ratio = n_big / n_small
+    ctx = mp.get_context("spawn")
+    ceilings: dict[str, float] = {}
+    for probe_name, probe in (
+        ("membw", _hw_probe_membw), ("cpu", _hw_probe_cpu)
+    ):
+        hw: dict[int, float] = {}
+        for n in (n_small, n_big):
+            # same CPU confinement as the build children
+            with ctx.Pool(n, _pin_cpus, (n,)) as pool:
+                pool.map(probe, range(n))  # spawn+import warm
+                t0 = time.time()
+                # 6 full waves per side: short probes are
+                # hostage to turbo/background noise; amortize
+                pool.map(probe, range(n * 6))
+                hw[n] = (n * 6) / (time.time() - t0)
+        ceilings[probe_name] = round(
+            (hw[n_big] / hw[n_small]) / ratio, 3
+        )
+    return ceilings
+
+
+def _epoch_gate() -> dict:
+    """Pre-flight gate for the WHOLE recorded bench (round-6 verdict
+    task #1): this box has multi-hour DRAM-poor epochs in which its
+    OWN no-Spark memory-streaming probe scales 0.6-0.65 from 2->8
+    pinned procs — every number recorded in such an epoch documents
+    the box's weather, not the engine (r5/r6 artifacts regressed on
+    most axes exactly this way while same-code solo runs in good
+    epochs met the bars). Poll the independent membw probe until it
+    clears SCALE_MEMBW_OK or the wait budget expires; every probe is
+    recorded in the artifact either way. Selection is on the hardware
+    probe, NEVER on any measured benchmark outcome.
+
+    Env: SPARK_GRAFT_EPOCH_WAIT_SEC (default 5400) total wait budget,
+         SPARK_GRAFT_EPOCH_POLL_SEC (default 300) probe interval,
+         SPARK_GRAFT_EPOCH_GATE=0 to skip (probe once, record, run)."""
+    n_big = min(CPUS, 8)
+    n_small = max(1, n_big // 4)
+    enabled = os.environ.get("SPARK_GRAFT_EPOCH_GATE", "1") != "0"
+    budget = float(os.environ.get("SPARK_GRAFT_EPOCH_WAIT_SEC", "5400"))
+    poll = float(os.environ.get("SPARK_GRAFT_EPOCH_POLL_SEC", "300"))
+    t0 = time.time()
+    probes: list[dict] = []
+    while True:
+        c = _hw_ceilings(n_small, n_big)
+        probes.append({"at_sec": round(time.time() - t0, 1), **c})
+        print(f"# epoch gate probe: {c}", file=sys.stderr, flush=True)
+        if not enabled or c["membw"] >= SCALE_MEMBW_OK:
+            break
+        if time.time() - t0 + poll > budget:
+            break
+        time.sleep(poll)
+    last = probes[-1]
+    return {
+        "enabled": enabled,
+        "cleared": last["membw"] >= SCALE_MEMBW_OK,
+        "membw": last["membw"],
+        "cpu": last["cpu"],
+        "threshold": SCALE_MEMBW_OK,
+        "waited_sec": round(time.time() - t0, 1),
+        "n_probes": len(probes),
+        "probes": probes,
+    }
 
 
 def _hw_probe_membw(_i) -> int:

@@ -72,10 +72,15 @@ PG_STEM_CLASSES = frozenset({"word", "hword", "hword_part"})
 #: an HTML comment (PG's wparser_def.c has a dedicated in-comment
 #: state — the body may contain '>' freely), or a tag whose quoted
 #: attribute values may contain '>' (the in-tag state machine
-#: respects quotes: <img alt="x > y"> is ONE tag token)
+#: respects quotes: <img alt="x > y"> is ONE tag token). XML
+#: declarations follow PG's TPS_InXMLBegin state exactly: after
+#: ``<?`` only a literal lowercase ``x`` enters the in-tag state
+#: (wparser_def.c: "Right now this accepts <?xZ"), so ``<?xml ...?>``
+#: is a skipped tag while ``<?php echo ?>`` is NOT a tag — the ``?``
+#: is a blank and ``php``/``echo`` tokenize as words.
 TAG_PATTERN = (
     r"<!--(?:[^-]|-(?!->)){0,2047}-->"
-    r"""|<[/!]?[A-Za-z](?:[^<>"']|"[^"]*"|'[^']*'){0,1023}>"""
+    r"""|<(?:[/!]?[A-Za-z]|\?x)(?:[^<>"']|"[^"]*"|'[^']*'){0,1023}>"""
 )
 
 #: one alternation per token class, tried in priority order — the

@@ -837,12 +837,16 @@ _DRIVER_SCORE_SLOTS = threading.BoundedSemaphore(
     int(os.environ.get("PGTS_DRIVER_SCORE_SLOTS", "1"))
 )
 
-#: per-BM25Index serving handles for the contended-small-query
-#: overflow (see topk_bmw) — keyed by id(index) with the index's
-#: stamp, so deletes/merges invalidate. A WeakValueDictionary-free
-#: plain dict is fine: entries are tiny (file-handle caches) and the
-#: set of live indexes per driver is small.
-_SERVE_OVERFLOW_CACHE: dict[int, tuple] = {}
+#: lock guarding construction of the per-index serving handle for the
+#: contended-small-query overflow (see topk_bmw). The handle itself is
+#: stored ON the BM25Index (``index._serve_overflow = (stamp, sv)``) —
+#: a module-level dict keyed by id(index) could alias two same-stamp
+#: indexes after CPython id reuse (any two fresh single-segment
+#: indexes share stamp ``(0, (0,))``) and pinned every index handle
+#: (plus its decode LRU) in driver memory forever. Storing on the
+#: handle means the entry dies with the index and can never be read
+#: through a different index object; the stamp still invalidates on
+#: deletes/merges.
 _SERVE_OVERFLOW_LOCK = threading.Lock()
 
 
@@ -859,12 +863,12 @@ def _serve_overflow(index, query: str, k: int):
     try:
         stamp = index._stamp()
         with _SERVE_OVERFLOW_LOCK:
-            cached = _SERVE_OVERFLOW_CACHE.get(id(index))
+            cached = getattr(index, "_serve_overflow", None)
             if cached is not None and cached[0] == stamp:
                 sv = cached[1]
             else:
                 sv = ServingIndex(index)
-                _SERVE_OVERFLOW_CACHE[id(index)] = (stamp, sv)
+                index._serve_overflow = (stamp, sv)
         return topk_serve(index, query, k, _serving=sv)
     except OSError:
         # store not readable from this process (e.g. a non-local
@@ -1045,7 +1049,8 @@ def topk_bmw(
             return local_topk_df(
                 spark, [(i + 1, d, s) for i, (d, s) in enumerate(order)]
             )
-        # driver slots contended (>4 concurrent small queries): route
+        # driver slot contended (the default is ONE slot, so overflow
+        # begins at the 2nd concurrent small query): route
         # the overflow through the in-process SERVING kernel — same
         # index files, same scoring kernels, results oracle-gated
         # identical (gate bm25_topk_serve) — instead of the

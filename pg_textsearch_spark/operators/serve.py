@@ -758,6 +758,9 @@ def local_topk_df(spark, rows):
     literal plan collects in ~0.03 s. Float literals use repr's
     shortest round-trip decimal, which the SQL parser reads back to
     the identical f64."""
+    # materialize first: a generator argument would survive the
+    # finiteness loop but arrive drained at the VALUES render below
+    rows = list(rows)
     if not rows:
         return spark.sql(
             "SELECT CAST(NULL AS INT) rank, CAST(NULL AS BIGINT) doc_id,"

@@ -410,3 +410,44 @@ def test_small_query_fallback_when_driver_slots_busy(zipf_index, monkeypatch):
         assert [(r["doc_id"],) for r in got] == [(r["doc_id"],) for r in fast]
         for a, b in zip(got, query):
             assert abs(a["score"] - b["score"]) <= 1e-9
+
+def test_serve_overflow_same_stamp_indexes_do_not_alias(
+    spark, tmp_path_factory,
+):
+    """Round-6 verdict bug: the serve-overflow ServingIndex cache was
+    keyed by id(index) with a stamp (deleted_docs, seg_ids) that does
+    NOT identify the index directory — two fresh single-segment
+    indexes share stamp (0, (0,)), so CPython id reuse could serve
+    top-k from the WRONG corpus. The handle now lives on the index
+    object itself; this pins that two same-stamp indexes over
+    different corpora answer from their own postings."""
+    from pg_textsearch_spark.operators import bmw as bmw_mod
+
+    base = tmp_path_factory.mktemp("alias")
+    idx_a = _build(
+        spark, [(i, f"apple orchard doc{i}") for i in range(1, 9)],
+        str(base / "a"),
+    )
+    idx_b = _build(
+        spark, [(i + 100, f"banana grove doc{i}") for i in range(1, 9)],
+        str(base / "b"),
+    )
+    assert idx_a._stamp() == idx_b._stamp()  # the aliasing precondition
+    held = 0
+    while bmw_mod._DRIVER_SCORE_SLOTS.acquire(blocking=False):
+        held += 1
+    try:
+        got_a = topk_bmw(idx_a, "apple", 3).collect()
+        got_b = topk_bmw(idx_b, "banana", 3).collect()
+        # and the cross queries: each corpus lacks the other's term
+        none_a = topk_bmw(idx_a, "banana", 3).collect()
+        none_b = topk_bmw(idx_b, "apple", 3).collect()
+    finally:
+        for _ in range(held):
+            bmw_mod._DRIVER_SCORE_SLOTS.release()
+    assert held >= 1
+    assert sorted(r["doc_id"] for r in got_a) == [1, 2, 3]
+    assert sorted(r["doc_id"] for r in got_b) == [101, 102, 103]
+    assert none_a == [] and none_b == []
+    # each handle caches its own ServingIndex; neither sees the other's
+    assert idx_a._serve_overflow[1] is not idx_b._serve_overflow[1]

@@ -764,3 +764,103 @@ WEBTEXT4_N_TOKENS = 67
 WEBTEXT4_STREAM_SHA256 = "a17fde66b35c12d19dab450a849f678e65da15307df4450284eea9dda905551e"
 WEBTEXT5_N_TOKENS = 106
 WEBTEXT5_STREAM_SHA256 = "d3cc3d26e989917ecde3f661520e7369f84790ddfb14aa25e7253e22245b74c2"
+
+
+# ---------------------------------------------------------------------------
+# round-7 real-page fixtures 6-7 (verdict task #6: RSS/XML-ish + broken
+# markup, mixed-script CJK)
+# ---------------------------------------------------------------------------
+
+
+def test_webtext_fixture6_rss_xml_and_broken_markup():
+    from tests.webtext_fixture import WEBTEXT_HTML_6
+
+    toks = scan(WEBTEXT_HTML_6)
+    words = {t for _c, t in toks}
+    # <?xml ...?> IS a tag (PG TPS_InXMLBegin: '<?' + literal 'x'
+    # enters the in-tag state): declaration attrs never tokenize
+    for leaked in ("version", "encoding", "utf"):
+        assert leaked not in words, leaked
+    # <?php ... ?> is NOT a tag ('<?' + 'p' pops): the PHP source
+    # tokenizes exactly as to_tsvector does
+    assert ("word", "php") in toks and ("word", "echo") in toks
+    assert ("word", "footer") in toks
+    # <![CDATA[ is NOT a tag ('<!' + '[' pops): the literal token
+    # CDATA leaks as a word and the section BODY tokenizes
+    assert ("word", "CDATA") in toks
+    assert ("word", "midnight") in toks      # CDATA body reached
+    assert ("word", "Archive") in toks       # title CDATA body
+    # namespaced self-closing tag is an ordinary tag: its attribute
+    # values (an mp3 url, a mime type) never leak
+    for leaked in ("audio", "mpeg", "media", "mp3"):
+        assert leaked not in words, leaked
+    assert "raven.mp3" not in {t for c, t in toks if c == "host"}
+    # entity stays markup; attribute value of <guid> never leaks but
+    # its BODY does (numhword with parts)
+    assert "mdash" not in words and "false" not in words
+    assert ("numhword", "raven-1845-001") in toks
+    assert ("hword_numpart", "001") in toks
+    # broken markup: freestanding '<' followed by non-letter is a
+    # blank ('renders < 5 ms' keeps both sides)
+    assert ("word", "renders") in toks and ("uint", "5") in toks
+    # unclosed tag at EOF rewinds: its name and attr tokenize
+    assert ("word", "em") in toks
+    assert ("hword", "broken-unclosed") in toks
+    # plain RSS element bodies are text (url decomposes, file class)
+    assert ("url", "poems.example.org/feed/raven") in toks
+    assert ("file", "/var/log/feeds/raven.log") in toks
+
+
+def test_webtext_fixture7_mixed_script_cjk():
+    from tests.webtext_fixture import WEBTEXT_HTML_7
+
+    toks = scan(WEBTEXT_HTML_7)
+    words = {t for _c, t in toks}
+    # PG's default parser does NOT segment CJK: a letter run unbroken
+    # by spaces/punctuation is ONE 'word' token
+    assert ("word", "學而時習之") in toks       # Analects clause
+    assert ("word", "吾輩は猫である") in toks    # Japanese clause
+    assert ("word", "나랏말싸미") in toks        # Korean (Hangul) word
+    # full-width punctuation （，。：「」？） is a blank: clauses on
+    # either side stay separate tokens
+    assert ("word", "子曰") in toks and ("word", "不亦樂乎") in toks
+    assert ("word", "名前はまだ無い") in toks
+    # digit-embedded CJK runs take numword — class structure, not
+    # script, drives the pipeline (era dates, 年 counters)
+    assert ("numword", "明治38年") in toks
+    assert ("numword", "1905年") in toks
+    assert ("numword", "平成30年") in toks
+    # mixed-script hyphen compounds behave exactly like Latin ones
+    assert ("hword", "東京-Tokyo") in toks
+    assert ("hword_part", "東京") in toks
+    assert ("hword_part", "Tokyo") in toks
+    # CJK attribute values (title="古典文本", lang attrs) never leak
+    assert "古典文本" not in words
+    assert "zh-Hant" not in words and "ja" not in words
+    # url with a CJK path still decomposes
+    assert ("host", "zh.wikisource.org") in toks
+    assert ("url_path", "/wiki/論語/學而第一") in toks
+
+
+def test_webtext_fixtures67_frozen_streams():
+    import hashlib
+
+    from tests.webtext_fixture import WEBTEXT_HTML_6, WEBTEXT_HTML_7
+
+    for html, n_want, sha_want in (
+        (WEBTEXT_HTML_6, WEBTEXT6_N_TOKENS, WEBTEXT6_STREAM_SHA256),
+        (WEBTEXT_HTML_7, WEBTEXT7_N_TOKENS, WEBTEXT7_STREAM_SHA256),
+    ):
+        toks = scan(html)
+        digest = hashlib.sha256(
+            "\x1e".join(f"{c}\x1f{t}" for c, t in toks).encode()
+        ).hexdigest()
+        assert len(toks) == n_want, len(toks)
+        assert digest == sha_want, digest
+
+
+# pinned by running the scanner once at fixture-freeze time (round 7)
+WEBTEXT6_N_TOKENS = 87
+WEBTEXT6_STREAM_SHA256 = "86cdb216ac8589599091cc6ebfcf1666793223242e38c8816598fd5553bdecab"
+WEBTEXT7_N_TOKENS = 49
+WEBTEXT7_STREAM_SHA256 = "6dbe8a29c2fea15d7ab0657777c7e8825144fe4dff2356a7072be1d701341344"

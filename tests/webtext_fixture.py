@@ -229,3 +229,77 @@ ebook #2701, public domain).</p>
 </body>
 </html>
 """
+
+#: sixth real public-domain page (round-7, verdict task #6
+#: "RSS/XML-ish, broken markup"): the opening stanza of Poe's "The
+#: Raven" (1845, no copyright) inside an RSS 2.0 feed. Pins XML-side
+#: contract corners from PG's wparser_def.c state machine:
+#: - ``<?xml ...?>`` IS a tag (TPS_InXMLBegin: '<?' + literal 'x'
+#:   enters the in-tag state) — declaration attrs never tokenize;
+#: - ``<?php ... ?>`` is NOT a tag ('<?' + 'p' pops): the '?' is a
+#:   blank and the PHP source tokenizes, exactly as to_tsvector does;
+#: - ``<![CDATA[...]]>`` is NOT a tag ('<!' + '[' pops — only '-'
+#:   (comment) or a letter (DOCTYPE) continue): the literal token
+#:   "CDATA" leaks as a word and the section BODY tokenizes;
+#: - namespaced tags (<media:content .../>) and self-closing tags are
+#:   ordinary tags (':' and '/' are legal in-tag chars);
+#: - broken markup: a freestanding '<' (followed by non-letter) is a
+#:   blank, and an unclosed tag at EOF rewinds — its name tokenizes.
+WEBTEXT_HTML_6 = """\
+<?xml version="1.0" encoding="utf-8"?>
+<rss version="2.0" xmlns:media="http://search.yahoo.com/mrss/">
+<channel>
+<title><![CDATA[Verse of the Day & Archive]]></title>
+<link>https://poems.example.org/feed/raven</link>
+<pubDate>Wed, 29 Jan 1845 12:00:00 GMT</pubDate>
+<item>
+<title>The Raven, stanza 1</title>
+<media:content url="https://poems.example.org/audio/raven.mp3" type="audio/mpeg"/>
+<description><![CDATA[Once upon a midnight dreary, while I pondered,
+weak and weary, Over many a quaint and curious volume of forgotten
+lore &mdash; While I nodded, nearly napping, suddenly there came a
+tapping, As of some one gently rapping, rapping at my chamber door.]]>
+</description>
+<guid isPermaLink="false">raven-1845-001</guid>
+</item>
+<?php echo feed_footer(); ?>
+</channel>
+</rss>
+<p>renders < 5 ms on mirror-02; validator output at
+/var/log/feeds/raven.log</p>
+<em broken-unclosed
+"""
+
+#: seventh real public-domain page (round-7, verdict task #6
+#: "mixed-script CJK"): real classical/modern CJK text — the opening
+#: of the Analects (論語·學而, ~480 BC), the first lines of Natsume
+#: Soseki's "I Am a Cat" (吾輩は猫である, 1905; author d. 1916), and
+#: the Hunminjeongeum preface (1446) — in one mixed-script page. The
+#: reference contract (/root/reference/README.md:598-612): PG's
+#: default parser does NOT emit per-word tokens for CJK — a letter
+#: run unbroken by spaces/punctuation is ONE 'word' token, and CJK
+#: full-width punctuation (，。：「」？) is a blank. Mixed-script
+#: hyphen compounds and digit-embedded runs take the same classes as
+#: Latin (hword/numword) — the class structure, not the script,
+#: drives the pipeline.
+WEBTEXT_HTML_7 = """\
+<!DOCTYPE html>
+<html lang="zh-Hant">
+<head><meta charset="utf-8"><title>三語讀本 — 論語・漱石・訓民正音</title></head>
+<body>
+<article title="古典文本">
+<h1>論語 學而第一</h1>
+<p>子曰：「學而時習之，不亦說乎？有朋自遠方來，不亦樂乎？人不知而不慍，
+不亦君子乎？」</p>
+<h1 lang="ja">吾輩は猫である</h1>
+<p lang="ja">吾輩は猫である。名前はまだ無い。どこで生れたかとんと
+見当がつかぬ。夏目漱石、明治38年（1905年）。</p>
+<h1 lang="ko">훈민정음 서문</h1>
+<p lang="ko">나랏말싸미 듕귁에 달아 문자와로 서르 사맛디 아니할쌔.</p>
+<p>Bilingual index: 東京-Tokyo, 北京-Beijing; sources at
+zh.wikisource.org/wiki/論語/學而第一 (public domain). Reading list
+updated 平成30年.</p>
+</article>
+</body>
+</html>
+"""
