@@ -51,7 +51,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: driver heap IS the executor heap. 8g OOMs the
+        # cached tokenized base past ~6M docs (ColumnBuilder burst
+        # allocations across 32 tasks, measured round 7); 16g clears
+        # 8M on this 128 GiB box. On a real cluster this is
+        # spark.executor.memory sized per node, not a driver concern.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # shuffle/spill/broadcast block codec and parquet codec:
