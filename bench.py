@@ -24,7 +24,22 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_SKIP_SCALING=1 to skip the two-session scaling run,
      SPARK_GRAFT_EPOCH_GATE=0 to skip the whole-bench epoch gate
      (SPARK_GRAFT_EPOCH_WAIT_SEC / _POLL_SEC tune its wait loop),
-     SPARK_GRAFT_4M_DOCS=0 to skip the 4M-page build row.
+     SPARK_GRAFT_4M_DOCS=0 to skip the 4M-page build row,
+     SPARK_GRAFT_BUILD_RUNS timed runs per recorded build (default 3,
+     after one untimed full-size warm run),
+     SPARK_GRAFT_ABS_MEMCPY_MIN / _ABS_SHA_MAX / _ABS_ATTEMPTS /
+     _ABS_RETRY_SLEEP tune the per-section absolute-probe bracket.
+
+Measurement discipline (round 7): every recorded section runs inside
+a PRE/POST absolute hardware probe (memcpy GB/s + fixed sha256 — this
+sandbox VM has host-level slow windows, 3-4.6x for minutes, that the
+relative 2-vs-8-proc probes cannot see because both sides slow
+together); a dirty bracket re-runs the section once after a pause.
+Selection is always on the probes, never on the measured value, and
+every attempt is recorded. Recorded builds additionally run one
+untimed FULL-SIZE warm build first (first build at a new scale in a
+JVM pays a 15-40% one-off JIT/allocator cost a steady-state
+application never sees) and report the median of timed runs.
 """
 
 from __future__ import annotations
@@ -71,6 +86,25 @@ SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "2"))
 SCALE_MEMBW_OK = float(os.environ.get("SPARK_GRAFT_SCALE_MEMBW_OK", "0.72"))
 SCALE_RETRY_SLEEP = int(os.environ.get("SPARK_GRAFT_SCALE_RETRY_SLEEP", "180"))
 N_BATCH_QUERIES = int(os.environ.get("SPARK_GRAFT_BATCH_QUERIES", "64"))
+#: per-section absolute-probe bracket (round 7). The relative membw
+#: probe (2->8 proc scaling ratio) is blind to HOST-LEVEL slow windows
+#: that hit all processes equally: round-7 measured the SAME 4M-page
+#: build at 302 s / 183 s in windows minutes wide and 58-72 s outside
+#: them, with the relative probe cleared at 0.775 the whole time. The
+#: absolute probe (single-proc memcpy GB/s + fixed sha256 work) sees a
+#: 3x window directly. Every RECORDED section runs inside a pre/post
+#: probe pair; a section whose bracket fails is re-run once after a
+#: pause. Selection is on the probes, NEVER on the section's value;
+#: every attempt is recorded in the artifact.
+ABS_MEMCPY_MIN = float(os.environ.get("SPARK_GRAFT_ABS_MEMCPY_MIN", "9.0"))
+ABS_SHA_MAX = float(os.environ.get("SPARK_GRAFT_ABS_SHA_MAX", "0.2"))
+ABS_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_ABS_ATTEMPTS", "2"))
+ABS_RETRY_SLEEP = int(os.environ.get("SPARK_GRAFT_ABS_RETRY_SLEEP", "120"))
+#: timed runs per recorded build, after one untimed FULL-SIZE warm
+#: run (the first build at a new data scale in a JVM pays a 15-40%
+#: one-off cost — JIT + allocator growth — that a steady-state
+#: application never sees; exp: 4M builds 69/58 s back-to-back)
+BUILD_RUNS = int(os.environ.get("SPARK_GRAFT_BUILD_RUNS", "3"))
 
 #: latency buckets run against the 1M-doc synthetic pages index (the
 #: round-2 verdict: sf0.1's 5k-doc index flattered the engine) —
@@ -128,11 +162,48 @@ def _build_pages(spark, pages_path: str, out_dir: str) -> float:
     return time.time() - t0
 
 
+def _measured_build(
+    spark, df_or_path, out_dir: str, *, config: str, n_buckets: int,
+    key_col: str | None = None, text_col: str = "text",
+    runs: int | None = None, keep_last: bool = False,
+) -> tuple[float, list[float]]:
+    """One untimed FULL-SIZE warm build, then ``runs`` timed builds;
+    returns (median, all samples). The warm run exists because the
+    first build at a new data scale in a JVM pays a 15-40% one-off
+    cost (JIT at scale + allocator arena growth — measured 69 s then
+    58 s for back-to-back 4M builds); a steady-state application —
+    and the reference's 138M-doc measurement — never pays it per
+    build. With ``keep_last`` the final timed build's index stays on
+    disk for the query sections."""
+    from pg_textsearch_spark.index.builder import build_index
+
+    def _one() -> float:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        df = (spark.read.parquet(df_or_path)
+              if isinstance(df_or_path, str) else df_or_path)
+        t0 = time.time()
+        kw = {"key_col": key_col, "text_col": text_col} if key_col else {}
+        build_index(spark, df, out_dir, config=config,
+                    n_buckets=n_buckets, **kw)
+        return time.time() - t0
+
+    runs = runs or BUILD_RUNS
+    _one()  # untimed full-size warm
+    samples = [_one() for _ in range(max(runs, 1))]
+    if not keep_last:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return statistics.median(samples), [round(s, 3) for s in samples]
+
+
 def _timed_build(spark, n_docs: int, tag: str) -> float:
-    """JIT-warm with a small build first (single-JVM local mode has
-    30s-scale first-build warmup that would swamp the measurement),
-    then time SCALE_RUNS builds and take the median."""
-    warm_path = _prepare_pages(spark, min(max(n_docs // 10, 2000), 100_000), seed=7)
+    """JIT-warm with a quarter-size build first (single-JVM local
+    mode has 30s-scale first-build warmup that would swamp the
+    measurement; a FIXED warmup residue inflates both sides of the
+    scaling pair additively and deflates the ratio — (180+c)/(65+c)/4
+    at c=10 s reads 0.63 where steady state is 0.69 — so the warm
+    build must be near the measured scale), then time SCALE_RUNS
+    builds and take the median."""
+    warm_path = _prepare_pages(spark, min(max(n_docs // 4, 2000), 1_000_000), seed=7)
     pages_path = _prepare_pages(spark, n_docs)
     _build_pages(spark, warm_path, f"/tmp/pgts_warm_{tag}")
     shutil.rmtree(f"/tmp/pgts_warm_{tag}", ignore_errors=True)
@@ -147,6 +218,14 @@ def main() -> None:
     results: dict[str, float] = {}
     extra: dict = {}
     total = 0.0
+    brackets: dict = {}
+    extra["brackets"] = brackets
+    section_times: dict = {}
+    extra["section_times"] = section_times
+    bench_t0 = time.time()
+
+    def _mark(name: str) -> None:
+        section_times[name] = round(time.time() - bench_t0, 1)
 
     # pre-flight epoch gate for the ENTIRE bench (see _epoch_gate):
     # wait for a DRAM epoch in which the box's own hardware probe can
@@ -206,7 +285,21 @@ def main() -> None:
             the hardware-ceiling probe (the epoch gate)."""
             ceilings = _hw_ceilings(n_small, n_big)
             samples: dict[str, list[float]] = {"n": [], "4n": []}
-            for _pair in range(n_pairs):
+            # per-pair ABSOLUTE probe bracket (round 7): host-level
+            # slow windows (3-4.6x, minutes wide) hit one SIDE of a
+            # pair and wreck its ratio both directions (run-1 pairs
+            # spread 0.48-0.85 under a cleared relative gate). A pair
+            # whose bracket is dirty is re-run (bounded extra pairs);
+            # the headline is the median over CLEAN pairs. Selection
+            # is on the probes, never on the pair's ratio; every pair
+            # + probe is recorded.
+            pair_clean: list[bool] = []
+            pair_probe_log: list[dict] = []
+            extra_pairs_left = 2
+            pair_i = 0
+            want_pairs = n_pairs
+            while pair_i < want_pairs:
+                pre = _hw_probe_abs()
                 for cores, key in ((n_small, "n"), (n_big, "4n")):
                     proc = subprocess.run(
                         [sys.executable, os.path.abspath(__file__)],
@@ -219,19 +312,35 @@ def main() -> None:
                     samples[key].append(
                         float(proc.stdout.strip().splitlines()[-1])
                     )
-            med = {k: statistics.median(v) for k, v in samples.items()}
+                post = _hw_probe_abs()
+                clean = _abs_ok(pre) and _abs_ok(post)
+                pair_clean.append(clean)
+                pair_probe_log.append(
+                    {"pre": pre, "post": post, "clean": clean}
+                )
+                if not clean and extra_pairs_left > 0:
+                    extra_pairs_left -= 1
+                    want_pairs += 1
+                    time.sleep(ABS_RETRY_SLEEP)
+                pair_i += 1
+            keep = ([i for i, c in enumerate(pair_clean) if c]
+                    or list(range(len(pair_clean))))
+            med = {k: statistics.median([v[i] for i in keep])
+                   for k, v in samples.items()}
             mn = {k: min(v) for k, v in samples.items()}
-            # headline = median of PER-PAIR efficiencies: pair i's two
-            # sides ran back-to-back (same epoch), so environmental
-            # slow epochs hit numerator and denominator together and
-            # cancel in the ratio; the old median-of-samples ratio
-            # mixed sides from different epochs and one slow sample
-            # set the headline.
+            # headline = median of PER-PAIR efficiencies over clean
+            # pairs: pair i's two sides ran back-to-back (same
+            # epoch), so environmental slow epochs hit numerator and
+            # denominator together and cancel in the ratio; the old
+            # median-of-samples ratio mixed sides from different
+            # epochs and one slow sample set the headline.
             pair_effs = [
                 round((tn / t4) / ratio, 3)
                 for tn, t4 in zip(samples["n"], samples["4n"])
             ]
-            eff = round(statistics.median(pair_effs), 3)
+            eff = round(
+                statistics.median([pair_effs[i] for i in keep]), 3
+            )
             return {
                 "pages_docs": N_PAGES,
                 "cores_n": n_small,
@@ -242,6 +351,8 @@ def main() -> None:
                 "docs_per_sec_4n": round(N_PAGES / med["4n"], 1),
                 "efficiency": eff,
                 "efficiency_pairs": pair_effs,
+                "pair_clean": pair_clean,
+                "pair_probes": pair_probe_log,
                 "efficiency_of_medians": round(
                     (med["n"] / med["4n"]) / ratio, 3
                 ),
@@ -305,8 +416,8 @@ def main() -> None:
         results["build_pages_scaling"] = extra["scaling_build_sec_4n"]
 
     # ---- documents section at full parallelism ----
+    _mark("documents_start")
     spark = _new_session(CPUS, "docs")
-    from pg_textsearch_spark.index.builder import build_index
     from pg_textsearch_spark.operators.bmw import topk_bmw
     from pg_textsearch_spark.operators.topk import BM25Index
 
@@ -317,48 +428,54 @@ def main() -> None:
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_docs = docs.count()
-    idx_dir = "/tmp/pgts_bench_docs"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.time()
-    build_index(spark, docs, idx_dir, config="english", n_buckets=16)
-    build_sec = time.time() - t0
+    build_sec, doc_samples = _bracketed(
+        "build_documents",
+        lambda: _measured_build(
+            spark, docs, "/tmp/pgts_bench_docs",
+            config="english", n_buckets=16,
+        ),
+        brackets,
+    )
     results["build_documents"] = round(build_sec, 3)
     extra["documents_docs_per_sec"] = round(n_docs / build_sec, 1)
+    extra["documents_samples_sec"] = doc_samples
     total += build_sec
-
-    shutil.rmtree(idx_dir, ignore_errors=True)
 
     # ---- headline serving section: 1M-doc pages index ----
     # (round-2 verdict #6: the latency buckets must run against the
     # 1M-doc index, with the concurrent number alongside)
+    _mark("build_1m_start")
     pages_1m = _prepare_pages(spark, N_LATENCY_DOCS)
     idx_dir = "/tmp/pgts_bench_1m"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    pages = spark.read.parquet(pages_1m)
-    t0 = time.time()
-    build_index(
-        spark, pages, idx_dir, key_col="url", text_col="text",
-        config="english", n_buckets=32,
+    build_1m_sec, samples_1m = _bracketed(
+        "build_pages_1m",
+        lambda: _measured_build(
+            spark, pages_1m, idx_dir, key_col="url", text_col="text",
+            config="english", n_buckets=32, keep_last=True,
+        ),
+        brackets,
     )
-    build_1m_sec = time.time() - t0
     results["build_pages_1m"] = round(build_1m_sec, 3)
     extra["pages_1m_docs_per_sec"] = round(N_LATENCY_DOCS / build_1m_sec, 1)
+    extra["pages_1m_samples_sec"] = samples_1m
     total += build_1m_sec
 
     # pg_english (PG-parser conformance config) build throughput on
     # the same corpus — the round-2 "4x parser tax" metric
-    pg_dir = "/tmp/pgts_bench_1m_pg"
-    shutil.rmtree(pg_dir, ignore_errors=True)
-    t0 = time.time()
-    build_index(
-        spark, pages, pg_dir, key_col="url", text_col="text",
-        config="pg_english", n_buckets=32,
+    _mark("build_pg_start")
+    pg_sec, samples_pg = _bracketed(
+        "build_pg_1m",
+        lambda: _measured_build(
+            spark, pages_1m, "/tmp/pgts_bench_1m_pg",
+            key_col="url", text_col="text",
+            config="pg_english", n_buckets=32,
+        ),
+        brackets,
     )
-    pg_sec = time.time() - t0
     extra["pg_english_1m_build_sec"] = round(pg_sec, 2)
     extra["pg_english_1m_docs_per_sec"] = round(N_LATENCY_DOCS / pg_sec, 1)
+    extra["pg_english_1m_samples_sec"] = samples_pg
     total += pg_sec
-    shutil.rmtree(pg_dir, ignore_errors=True)
 
     # 4M-page build: the reference's ~130k docs/s is measured at 138M
     # docs, where its per-build fixed costs vanish; at 1M docs this
@@ -369,31 +486,52 @@ def main() -> None:
     # (round-6 verdict task #3). SPARK_GRAFT_4M_DOCS=0 skips.
     n_4m = int(os.environ.get("SPARK_GRAFT_4M_DOCS", "4000000"))
     if n_4m:
+        _mark("build_4m_start")
         pages_4m = _prepare_pages(spark, n_4m)
-        dir_4m = "/tmp/pgts_bench_4m"
-        sec_4m = _build_pages(spark, pages_4m, dir_4m)
+        # 2 timed runs (not BUILD_RUNS): the 4M warm+timed sequence is
+        # already ~3.5 min and the run-to-run spread post-warm is small
+        # (58.5/64.8/64.9 s measured round 7)
+        sec_4m, samples_4m = _bracketed(
+            "build_pages_4m",
+            lambda: _measured_build(
+                spark, pages_4m, "/tmp/pgts_bench_4m",
+                key_col="url", text_col="text",
+                config="english", n_buckets=32, runs=2,
+            ),
+            brackets,
+        )
         results["build_pages_4m"] = round(sec_4m, 3)
         extra["pages_4m_docs_per_sec"] = round(n_4m / sec_4m, 1)
         extra["pages_4m_docs"] = n_4m
+        extra["pages_4m_samples_sec"] = samples_4m
         total += sec_4m
-        shutil.rmtree(dir_4m, ignore_errors=True)
         shutil.rmtree(pages_4m, ignore_errors=True)  # ~GBs of /tmp
 
+    _mark("queries_start")
     idx = BM25Index(spark, idx_dir)
     idx.prewarm()  # dictionary pinned in memory (resident-dict analog)
     topk_bmw(idx, "t777 t8888", 10).collect()  # JIT/UDF warmup
-    for key, q in QUERY_BUCKETS.items():
-        # warm latency, mirroring the reference's warm single-client
-        # p50s: one untimed pass loads this query's df cache + plan,
-        # then median of 3 timed runs
-        topk_bmw(idx, q, 10).collect()
-        times = []
-        for _ in range(3):
-            t0 = time.time()
+
+    def _bucket_latencies() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for key, q in QUERY_BUCKETS.items():
+            # warm latency, mirroring the reference's warm
+            # single-client p50s: one untimed pass loads this query's
+            # df cache + plan, then median of 3 timed runs
             topk_bmw(idx, q, 10).collect()
-            times.append(time.time() - t0)
-        results[key] = round(statistics.median(times), 3)
-        total += results[key]
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                topk_bmw(idx, q, 10).collect()
+                times.append(time.time() - t0)
+            out[key] = round(statistics.median(times), 3)
+        return out
+
+    for key, med in _bracketed(
+        "query_buckets", _bucket_latencies, brackets
+    ).items():
+        results[key] = med
+        total += med
 
     # interactive serving path (operators/serve.py): the same index,
     # the same kernels, driver-side — the answer to the reference's
@@ -429,12 +567,18 @@ def main() -> None:
     # recorded batch number landed in one (15.8 q/s recorded vs
     # 17-21 solo); a 3-sample median is the same discipline that made
     # the scaling section reproducible
-    topk_batch(idx, batch, k=10).collect()  # warm (df cache + kernel JIT)
-    bt = []
-    for _ in range(3):
-        t0 = time.time()
-        topk_batch(idx, batch, k=10).collect()
-        bt.append(time.time() - t0)
+    _mark("batch_start")
+
+    def _batch_samples() -> list[float]:
+        topk_batch(idx, batch, k=10).collect()  # warm (cache + JIT)
+        bt = []
+        for _ in range(3):
+            t0 = time.time()
+            topk_batch(idx, batch, k=10).collect()
+            bt.append(time.time() - t0)
+        return bt
+
+    bt = _bracketed("batch_queries", _batch_samples, brackets)
     batch_sec = statistics.median(bt)
     results["batch_queries"] = round(batch_sec, 3)
     extra["batch_queries_per_sec"] = round(N_BATCH_QUERIES / batch_sec, 1)
@@ -476,25 +620,32 @@ def main() -> None:
             f"s{ntok}_{i}": " ".join(_sweep_term() for _ in range(ntok))
             for i in range(count)
         }
-    sweep_out: dict[str, dict] = {}
-    sweep_wall = 0.0
-    weighted_num = 0.0
-    for ntok, qs in sweep_queries.items():
-        topk_batch(idx, qs, k=10).collect()  # warm (df cache + plans)
-        swt = []
-        for _ in range(3):
-            t0 = time.time()
-            topk_batch(idx, qs, k=10).collect()
-            swt.append(time.time() - t0)
-        wall = statistics.median(swt)
-        sweep_wall += wall
-        per_q = wall / len(qs)
-        weighted_num += wall
-        sweep_out[f"{ntok}tok"] = {
-            "n": len(qs),
-            "wall_sec": round(wall, 3),
-            "sec_per_query": round(per_q, 4),
-        }
+    _mark("sweep_start")
+
+    def _sweep_pass() -> tuple[dict, float, float]:
+        out: dict[str, dict] = {}
+        swall = 0.0
+        wnum = 0.0
+        for ntok, qs in sweep_queries.items():
+            topk_batch(idx, qs, k=10).collect()  # warm (cache + plans)
+            swt = []
+            for _ in range(3):
+                t0 = time.time()
+                topk_batch(idx, qs, k=10).collect()
+                swt.append(time.time() - t0)
+            wall = statistics.median(swt)
+            swall += wall
+            wnum += wall
+            out[f"{ntok}tok"] = {
+                "n": len(qs),
+                "wall_sec": round(wall, 3),
+                "sec_per_query": round(wall / len(qs), 4),
+            }
+        return out, swall, wnum
+
+    sweep_out, sweep_wall, weighted_num = _bracketed(
+        "sweep_latency", _sweep_pass, brackets
+    )
     n_sweep = sum(sweep_shape.values())
     extra["sweep_latency"] = {
         "queries": n_sweep,
@@ -540,8 +691,14 @@ def main() -> None:
             th.join()
         return time.time() - t0
 
-    _run_clients(client)  # warm (plans, df caches, worker reuse)
-    conc_samples = [_run_clients(client) for _ in range(3)]
+    _mark("concurrent_start")
+
+    def _conc_samples() -> list[float]:
+        errs.clear()
+        _run_clients(client)  # warm (plans, df caches, worker reuse)
+        return [_run_clients(client) for _ in range(3)]
+
+    conc_samples = _bracketed("concurrent", _conc_samples, brackets)
     conc_sec = statistics.median(conc_samples)
     assert not errs, errs[0]
     n_q = N_CONCURRENT_CLIENTS * QUERIES_PER_CLIENT
@@ -572,8 +729,14 @@ def main() -> None:
         except Exception as exc:
             serve_errs.append(exc)
 
-    serve_client(0)  # warm the term-df cache for a fair wall clock
-    sconc_samples = [_run_clients(serve_client) for _ in range(3)]
+    def _sconc_samples() -> list[float]:
+        serve_errs.clear()
+        serve_client(0)  # warm the term-df cache for a fair wall
+        return [_run_clients(serve_client) for _ in range(3)]
+
+    sconc_samples = _bracketed(
+        "concurrent_serve", _sconc_samples, brackets
+    )
     sconc_sec = statistics.median(sconc_samples)
     assert not serve_errs, serve_errs[0]
     extra["concurrent_serve"] = {
@@ -602,15 +765,23 @@ def main() -> None:
             qs.append(f"{rng_terms[base]} {rng_terms[base + 1]}")
         pool_batches.append(qs)
     ctx = mp.get_context("spawn")
-    with ctx.Pool(
-        min(N_CONCURRENT_CLIENTS, CPUS), _pool_init, (idx_dir,)
-    ) as pool:
-        pool.map(_pool_serve, [b[:1] for b in pool_batches])  # warm
-        psamples = []
-        for _ in range(3):  # median-of-3 (epoch robustness, as above)
-            t0 = time.time()
-            done = sum(pool.map(_pool_serve, pool_batches))
-            psamples.append(time.time() - t0)
+    _mark("pool_tiers_start")
+
+    def _procs_pool() -> tuple[int, list[float]]:
+        with ctx.Pool(
+            min(N_CONCURRENT_CLIENTS, CPUS), _pool_init, (idx_dir,)
+        ) as pool:
+            pool.map(_pool_serve, [b[:1] for b in pool_batches])  # warm
+            ps = []
+            for _ in range(3):  # median-of-3 (epoch robustness)
+                t0 = time.time()
+                n_done = sum(pool.map(_pool_serve, pool_batches))
+                ps.append(time.time() - t0)
+        return n_done, ps
+
+    done, psamples = _bracketed(
+        "concurrent_serve_procs", _procs_pool, brackets
+    )
     pconc_sec = statistics.median(psamples)
     extra["concurrent_serve_procs"] = {
         "workers": min(N_CONCURRENT_CLIENTS, CPUS),
@@ -635,32 +806,37 @@ def main() -> None:
     routed: list[list[str]] = [[] for _ in range(n_workers)]
     for q in all_pool_q:
         routed[route_query(idx, q, n_workers, _serving=sv)].append(q)
-    extra_queues = ctx.Queue()
-    barrier = ctx.Barrier(n_workers + 1)
-    procs = [
-        ctx.Process(
-            target=_sticky_worker,
-            args=(idx_dir, routed[w], barrier, extra_queues, w),
-        )
-        for w in range(n_workers)
-    ]
-    for p in procs:
-        p.start()
-    barrier.wait()  # all workers warmed their own shard
-    t0 = time.time()
-    lats: list[float] = []
-    walls: list[float] = []
-    colds: list[float] = []
-    for _ in range(n_workers):
-        _wid, wall, cold, wlats = extra_queues.get()
-        walls.append(wall)
-        colds.append(cold)
-        lats.extend(wlats)
-    for p in procs:
-        p.join()
+    def _sticky_pass() -> tuple[list, list, list]:
+        extra_queues = ctx.Queue()
+        barrier = ctx.Barrier(n_workers + 1)
+        procs = [
+            ctx.Process(
+                target=_sticky_worker,
+                args=(idx_dir, routed[w], barrier, extra_queues, w),
+            )
+            for w in range(n_workers)
+        ]
+        for p in procs:
+            p.start()
+        barrier.wait()  # all workers warmed their own shard
+        wl: list[float] = []
+        cl: list[float] = []
+        ll: list[float] = []
+        for _ in range(n_workers):
+            _wid, wall, cold, wlats = extra_queues.get()
+            wl.append(wall)
+            cl.append(cold)
+            ll.extend(wlats)
+        for p in procs:
+            p.join()
+        return wl, cl, ll
+
+    walls, colds, lats = _bracketed(
+        "concurrent_serve_sticky", _sticky_pass, brackets
+    )
     # each worker reports its MEDIAN per-pass wall (3 passes); the
     # tier's wall for one pass over the full mix = slowest worker
-    sticky_wall = max(walls) if walls else time.time() - t0
+    sticky_wall = max(walls) if walls else 0.0
     lats.sort()
     n_sticky_q = len(all_pool_q)  # per pass (lats holds 3 passes)
     extra["concurrent_serve_sticky"] = {
@@ -704,9 +880,14 @@ def main() -> None:
             mshard = max(mshard, max(pool.last_shard_counts))
         return statistics.median(walls), lats, mshard
 
-    with ServePool(idx_dir, n_workers=n_workers) as sp:
-        sc_wall, sc_lats, sc_shard = _pool_passes(sp, all_pool_q)
-        hh_wall, hh_lats, hh_shard = _pool_passes(sp, head_mix)
+    def _two_choice() -> tuple:
+        with ServePool(idx_dir, n_workers=n_workers) as sp:
+            sc = _pool_passes(sp, all_pool_q)
+            hh = _pool_passes(sp, head_mix)
+        return sc, hh
+
+    (sc_wall, sc_lats, sc_shard), (hh_wall, hh_lats, hh_shard) = \
+        _bracketed("serve_pool_two_choice", _two_choice, brackets)
     fair = len(head_mix) / n_workers
     extra["serve_pool_two_choice"] = {
         "workers": n_workers,
@@ -792,9 +973,16 @@ def main() -> None:
     scaling = _q(
         "scaling", "cores_n", "cores_4n", "docs_per_sec_n",
         "docs_per_sec_4n", "efficiency", "efficiency_pairs",
-        "efficiency_min", "efficiency_bus_normalized", "hw_ceiling",
-        "attempts",
+        "pair_clean", "efficiency_min", "efficiency_bus_normalized",
+        "hw_ceiling", "attempts",
     )
+    # one-char-per-section bracket summary: '.' clean first try,
+    # 'r' clean after retry, 'X' never clean (kept by best probe)
+    compact["brackets"] = {
+        name: ("." if b["clean"] and b["chosen"] == 0
+               else "r" if b["clean"] else "X")
+        for name, b in extra["brackets"].items()
+    }
     if scaling:
         compact["scaling"] = scaling
     for sec, keys in (
@@ -825,6 +1013,8 @@ def main() -> None:
             ("scaling", "efficiency_pairs"),
             ("scaling", "hw_ceiling"),
             ("scaling", "efficiency_min"),
+            ("scaling", "pair_clean"),
+            ("brackets", None),
             ("serve_pool_two_choice", None),
             ("epoch_gate", None),
         )
@@ -981,6 +1171,93 @@ def _epoch_gate() -> dict:
     }
 
 
+def _hw_probe_abs() -> dict:
+    """ABSOLUTE hardware probe (single process, ~2 s): streaming
+    memcpy bandwidth + a fixed cpu-bound sha256 workload. Good-epoch
+    baselines on this box: ~17 GB/s memcpy, ~0.095 s sha256(128 MB).
+    Host-level slow windows (3-4.6x observed on Spark work) show up
+    here directly, where the RELATIVE 2-vs-8-proc scaling probe
+    cancels them out (both sides slow together)."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.empty(32_000_000, dtype=np.int64)  # 256 MB
+    a[:] = 1
+    b = np.empty_like(a)
+    np.copyto(b, a)  # untimed: page-fault/alloc warm
+    # BEST of 3 passes: the probe asks "CAN the box run at speed right
+    # now", so a one-pass scheduler preemption / writeback hiccup must
+    # not read as a slow window (observed: a single pass at 0.36 GB/s
+    # with sha normal, next pass ~15 GB/s). A genuine host window
+    # suppresses all three passes.
+    memcpy_gbps = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(2):
+            np.copyto(b, a)
+        memcpy_gbps = max(
+            memcpy_gbps, 2 * 2 * a.nbytes / (time.time() - t0) / 1e9
+        )
+    data = a.tobytes()[:128_000_000]
+    sha_sec = math.inf
+    for _ in range(3):
+        t0 = time.time()
+        hashlib.sha256(data).hexdigest()
+        sha_sec = min(sha_sec, time.time() - t0)
+    return {"memcpy_gbps": round(memcpy_gbps, 2),
+            "sha_sec": round(sha_sec, 3)}
+
+
+def _abs_ok(p: dict) -> bool:
+    return (p["memcpy_gbps"] >= ABS_MEMCPY_MIN
+            and p["sha_sec"] <= ABS_SHA_MAX)
+
+
+def _bracketed(name: str, run_fn, brackets: dict):
+    """Run a recorded section between two absolute hardware probes;
+    if either probe says the box was in a slow window, pause and
+    re-run the section (up to ABS_ATTEMPTS total). The kept attempt
+    is the first with a clean bracket, else the one whose WORST
+    bracket probe was best — chosen by probes alone, never by the
+    section's measured value. Every attempt (value + both probes) is
+    recorded under ``brackets[name]``."""
+    trials: list[dict] = []
+    values: list = []
+    chosen = None
+    for att in range(max(ABS_ATTEMPTS, 1)):
+        pre = _hw_probe_abs()
+        t0 = time.time()
+        values.append(run_fn())
+        wall = time.time() - t0
+        post = _hw_probe_abs()
+        ok = _abs_ok(pre) and _abs_ok(post)
+        trials.append(
+            {"pre": pre, "post": post, "ok": ok,
+             "wall_sec": round(wall, 1)}
+        )
+        if ok:
+            chosen = att
+            break
+        if att + 1 < max(ABS_ATTEMPTS, 1):
+            print(f"# bracket '{name}' dirty (pre={pre}, post={post}); "
+                  f"retrying after {ABS_RETRY_SLEEP}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(ABS_RETRY_SLEEP)
+    if chosen is None:
+        chosen = max(
+            range(len(trials)),
+            key=lambda i: min(trials[i]["pre"]["memcpy_gbps"],
+                              trials[i]["post"]["memcpy_gbps"]),
+        )
+    brackets[name] = {
+        "attempts": trials,
+        "chosen": chosen,
+        "clean": trials[chosen]["ok"],
+    }
+    return values[chosen]
+
+
 def _hw_probe_membw(_i) -> int:
     """Memory-bandwidth-bound probe: streaming ops over 32 MB arrays
     (nothing fits in cache). Pessimistic bracket — measured ~0.46
@@ -1036,7 +1313,9 @@ def _scale_child(cores: int) -> None:
 def _prep_only() -> None:
     """Subprocess entry: materialize the scaling corpora, untimed."""
     spark = _new_session(CPUS, "prep")
-    _prepare_pages(spark, min(max(N_PAGES // 10, 2000), 100_000), seed=7)
+    # must match _timed_build's warm-corpus size, else the 2-core
+    # scale child generates it at 2 cores (untimed but slow wall)
+    _prepare_pages(spark, min(max(N_PAGES // 4, 2000), 1_000_000), seed=7)
     _prepare_pages(spark, N_PAGES)
     spark.stop()
 
