@@ -864,3 +864,63 @@ WEBTEXT6_N_TOKENS = 87
 WEBTEXT6_STREAM_SHA256 = "86cdb216ac8589599091cc6ebfcf1666793223242e38c8816598fd5553bdecab"
 WEBTEXT7_N_TOKENS = 49
 WEBTEXT7_STREAM_SHA256 = "6dbe8a29c2fea15d7ab0657777c7e8825144fe4dff2356a7072be1d701341344"
+
+
+def test_webtext_fixture8_numeric_commerce_page():
+    from tests.webtext_fixture import WEBTEXT_HTML_8
+
+    toks = scan(WEBTEXT_HTML_8)
+    words = {t for _c, t in toks}
+    # markup never leaks: tag names, attribute names/values, charset
+    for leaked in ("charset", "utf", "td", "tr", "table", "en",
+                   "DOCTYPE", "html", "head", "meta"):
+        assert leaked not in words, leaked
+    # numeric classes, composed in running prose:
+    assert ("version", "2.4.1") in toks          # 3-part dotted
+    assert ("numword", "v2") in toks             # letter+digit run
+    assert ("float", "37.5") in toks             # '%' is a blank
+    assert ("sfloat", "1.5e-9") in toks          # scientific
+    assert ("sfloat", "6.02e23") in toks
+    assert ("int", "-3") in toks                 # signed int
+    # a dashed date is NOT one token: uint then two signed ints
+    i = toks.index(("uint", "2026"))
+    assert toks[i : i + 3] == [
+        ("uint", "2026"), ("int", "-08"), ("int", "-18")]
+    # a phone number decomposes the same way (+1 -800 -555 -0199)
+    assert ("int", "+1") in toks and ("int", "-0199") in toks
+    # numhword: letter part + digit part
+    assert ("numhword", "RFC-7541") in toks
+    assert ("hword_part", "RFC") in toks
+    assert ("hword_numpart", "7541") in toks
+    # email with hyphenated domain kept whole
+    assert ("email", "sales@tapir-search.example.com") in toks
+    # url with query string: entities are NOT decoded inside url
+    # tokens — '&amp;' rides along as literal characters
+    assert ("host", "get.tapir.example.com") in toks
+    assert ("url_path", "/dl?ver=2.4.1&amp;arch=x86_64") in toks
+    # bare host (no scheme, no path)
+    assert ("host", "ftp.tapir.example.org") in toks
+    # documented numeric file-vs-host ambiguity: '$19.99/mo' ('$' is
+    # a blank) reads as url '19.99/mo' with numeric host '19.99'
+    assert ("url", "19.99/mo") in toks
+    assert ("host", "19.99") in toks
+    # the file class swallows a sentence-final period
+    assert ("file", "/pub/releases/sha256sums.txt.") in toks
+
+
+def test_webtext_fixture8_frozen_stream():
+    import hashlib
+
+    from tests.webtext_fixture import WEBTEXT_HTML_8
+
+    toks = scan(WEBTEXT_HTML_8)
+    digest = hashlib.sha256(
+        "\x1e".join(f"{c}\x1f{t}" for c, t in toks).encode()
+    ).hexdigest()
+    assert len(toks) == WEBTEXT8_N_TOKENS, len(toks)
+    assert digest == WEBTEXT8_STREAM_SHA256, digest
+
+
+# pinned by running the scanner once at fixture-freeze time (round 7)
+WEBTEXT8_N_TOKENS = 87
+WEBTEXT8_STREAM_SHA256 = "1f74177c62446c90af95e88a7a658c858b2b35bf5f593adaa818435de791c7df"

@@ -303,3 +303,41 @@ updated 平成30年.</p>
 </body>
 </html>
 """
+
+#: eighth real-web-shaped page (round-7): the release-notes/pricing
+#: page — the numeric-and-contact-heavy commerce shape. Exercises at
+#: page level the numeric token classes the unit suite pins in
+#: isolation (contract: /root/reference/README.md:581-629,
+#: src/access/build.c:806-1059): version (2.4.1), numword (v2),
+#: float (37.5), sfloat (1.5e-9, 6.02e23), signed int (-3; each
+#: phone-number segment), date split (2026-08-18 -> uint,int,int),
+#: numhword with hword_numpart (RFC-7541), an email with a
+#: hyphenated domain kept whole, a url with a query string (entities
+#: are NOT decoded inside url tokens — '&amp;' rides along as
+#: literal chars), a bare ftp host, the documented numeric
+#: file-vs-host ambiguity ('$19.99/mo' -> url '19.99/mo' with host
+#: '19.99'), and a file token that swallows its sentence-final
+#: period ('/pub/releases/sha256sums.txt.').
+WEBTEXT_HTML_8 = """\
+<!DOCTYPE html>
+<html lang="en">
+<head><meta charset="utf-8"><title>Tapir Search v2.4 — Release Notes &amp; Pricing</title></head>
+<body>
+<h1>Tapir Search 2.4.1 release notes</h1>
+<ul>
+<li>Indexer throughput up 37.5% vs v2.3 (benchmarked 2026-08-18).</li>
+<li>Fixed overflow in block-max skip at k=10, eps 1.5e-9.</li>
+<li>New wire codec (see RFC-7541); dictionary gzip level -3.</li>
+</ul>
+<h2>Pricing</h2>
+<table>
+<tr><td>Starter</td><td>$19.99/mo</td><td>1 node</td></tr>
+<tr><td>Team</td><td>$249.00/mo</td><td>8 nodes</td></tr>
+</table>
+<p>Order desk: sales@tapir-search.example.com or +1-800-555-0199.
+Mirrors: https://get.tapir.example.com/dl?ver=2.4.1&amp;arch=x86_64
+and ftp.tapir.example.org. Checksums in /pub/releases/sha256sums.txt.
+Licensed per RFC; Avogadro-scale corpora (6.02e23 docs) not supported.</p>
+</body>
+</html>
+"""
