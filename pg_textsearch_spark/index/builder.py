@@ -675,6 +675,13 @@ def _ids_map(
         .withColumn(out_col, F.row_number().over(w) + F.col("_offset") - 1)
         .drop("_pid", "_offset")
     )
+    # persist the (key, doc_id) output: it has two consumers in a
+    # keyed build — the broadcast join-back AND the keymap write — and
+    # without the cache each re-pays the per-partition url sort
+    # (round-8: keymap_sec 5.7 s -> cache read at 2 cores / 2M pages)
+    if persisted is not None:
+        ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(ids)
     return ids, sum(counts.values())
 
 
@@ -1344,6 +1351,36 @@ def postings_from_flat_ids(
 #: granularity (the reference reads only the matched terms' blocks;
 #: without this a query reads its whole bucket). Shared by bulk build
 #: and merge/vacuum via SegmentStore.write.
+def _postings_write_opts() -> dict:
+    """Postings write layout (round-8 optimization, guide §2.4).
+
+    Default: NO pre-write exchange — the dynamic-partition writer fans
+    each kernel-output task into its buckets' dirs after a LOCAL sort
+    by (bucket, term, run). The old ``repartition("bucket")`` moved
+    every encoded block a second time (measured 403 MB shuffled for a
+    2M-page build, −3.7 s wall at 8 cores when dropped; query
+    latencies unchanged — the dir layout and row-group term-sort are
+    identical, just one file per kernel task per bucket instead of one
+    per bucket). At cluster scale the old exchange was also the wrong
+    shape: 32 bucket values cap the write parallelism at 32 tasks and
+    make each output file corpus/32 bytes, while the no-exchange
+    layout keeps files at task size (the 128 MB–1 GB guide §6 range).
+    PGTS_BUCKET_SHUFFLE=1 restores the old single-file-per-bucket
+    layout."""
+    if os.environ.get("PGTS_BUCKET_SHUFFLE", "0") == "1":
+        return dict(
+            partition_by="bucket",
+            sort_within=["term", "run"],
+            parquet_block_size=1 << 20,
+        )
+    return dict(
+        partition_by="bucket",
+        sort_within=["bucket", "term", "run"],
+        parquet_block_size=1 << 20,
+        no_exchange=True,
+    )
+
+
 POSTINGS_WRITE_OPTS = dict(
     partition_by="bucket",
     sort_within=["term", "run"],
@@ -1503,7 +1540,7 @@ class IndexWriter:
                 getattr(postings, "_pgts_arrow_batch", None),
             ):
                 self.store.write(
-                    postings, "postings", seg_id, **POSTINGS_WRITE_OPTS
+                    postings, "postings", seg_id, **_postings_write_opts()
                 )
             d()
             f_dict = pool.submit(write_dict)

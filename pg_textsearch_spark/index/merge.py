@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from pg_textsearch_spark.index.builder import (
     IndexWriter,
-    POSTINGS_WRITE_OPTS,
+    _postings_write_opts,
     postings_from_flat,
 )
 from pg_textsearch_spark.operators.topk import (
@@ -110,7 +110,7 @@ def merge_segments(
 
     # write new segment, then drop sources from the manifest atomically
     writer = IndexWriter(base)
-    writer.store.write(merged, "postings", new_seg_id, **POSTINGS_WRITE_OPTS)
+    writer.store.write(merged, "postings", new_seg_id, **_postings_write_opts())
     writer.store.write(merged_doclen, "doclen", new_seg_id)
     # carry the doc_id -> key map through the merge (ids never change;
     # dropped docs leave the map)
