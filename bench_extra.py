@@ -25,6 +25,36 @@ def _pin(n: int) -> None:
         os.sched_setaffinity(0, set(range(n)))
 
 
+def _abs_probe() -> dict:
+    """bench.py's absolute hardware probe (memcpy GB/s + sha256) so
+    every recorded experiment carries its epoch bracket."""
+    import hashlib
+    import math as _m
+
+    import numpy as np
+
+    a = np.empty(32_000_000, dtype=np.int64)
+    a[:] = 1
+    b = np.empty_like(a)
+    np.copyto(b, a)
+    memcpy_gbps = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(2):
+            np.copyto(b, a)
+        memcpy_gbps = max(
+            memcpy_gbps, 2 * 2 * a.nbytes / (time.time() - t0) / 1e9
+        )
+    data = a.tobytes()[:128_000_000]
+    sha_sec = _m.inf
+    for _ in range(3):
+        t0 = time.time()
+        hashlib.sha256(data).hexdigest()
+        sha_sec = min(sha_sec, time.time() - t0)
+    return {"memcpy_gbps": round(memcpy_gbps, 2),
+            "sha_sec": round(sha_sec, 3)}
+
+
 def _session(cores: int, tag: str):
     from pg_textsearch_spark.session import get_spark
     from pg_textsearch_spark.shipping import ensure_shipped
@@ -96,11 +126,14 @@ def main() -> None:
             out["warm_metrics"] = w_m
         runs = int(os.environ.get("PGTS_PROBE_RUNS", "1"))
         walls = []
+        probes = [_abs_probe()]
         for i in range(runs):
             wall, m = one_build(path, f"timed{cores}")
             walls.append(round(wall, 2))
             out[f"metrics_{i}"] = m
+            probes.append(_abs_probe())
         out["build_sec"] = walls
+        out["abs_probes"] = probes
     spark.stop()
     print(json.dumps(out))
 

@@ -17,4 +17,15 @@ over.
 
 __version__ = "0.1.0"
 
-from pg_textsearch_spark.session import get_spark  # noqa: F401
+
+def __getattr__(name):
+    # lazy re-export: importing the package must not drag pyspark in —
+    # the Spark-free serving workers (operators/serve.LocalIndex, one
+    # process per core) import submodules of this package, and a
+    # module-level pyspark import cost every spawned worker ~0.3 s and
+    # tens of MB for nothing (round 8, guide §4.5)
+    if name == "get_spark":
+        from pg_textsearch_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(name)

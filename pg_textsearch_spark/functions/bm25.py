@@ -22,9 +22,12 @@ Two implementations, same formula:
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 import numpy as np
-from pyspark.sql import Column
-from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover — annotations only
+    from pyspark.sql import Column
 
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
@@ -68,6 +71,8 @@ def bm25_term_score32(
 
 
 def idf_expr(n_docs: Column, df: Column) -> Column:
+    from pyspark.sql import functions as F
+
     return F.log1p((n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)))
 
 
@@ -80,6 +85,8 @@ def bm25_score_expr(
     k1: float = DEFAULT_K1,
     b: float = DEFAULT_B,
 ) -> Column:
+    from pyspark.sql import functions as F
+
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
     return idf * tf * F.lit(k1 + 1.0) / (tf + norm) * query_freq
 

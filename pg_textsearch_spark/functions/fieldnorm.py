@@ -78,6 +78,47 @@ def fieldnorm_encode_col(doc_len_col):
     return F.greatest(idx, F.lit(0)).cast("int")
 
 
+def fieldnorm_encode_expr(doc_len_col):
+    """Whole-stage-codegen JVM expression for ``encode_fieldnorm``.
+
+    Unlike ``fieldnorm_encode_col`` (a higher-order ``filter`` lambda,
+    interpreted, disables codegen for its stage) this is a plain
+    27-branch CASE over the table's exponent groups plus integer
+    arithmetic, derived FROM the decode table itself: ids 0..39 are
+    exact; past 40 each group of 8 ids advances by a doubling step, so
+    ``id = 40 + 8*g + (len - start_g) / step_g`` within group g.
+    Byte-identical to ``encode_fieldnorm`` for every int64 input
+    (pinned by test_fieldnorm). Replaces the Arrow-batched UDF in the
+    index build — the base-build stage then runs as ONE codegen span
+    with no Python worker round trip (round 8, guide §4.1)."""
+    from pyspark.sql import functions as F
+
+    tbl = FIELDNORM_DECODE_TABLE
+    L = doc_len_col.cast("long")
+    # groups of 8 ids from id 40 on: (first_id, start_value, step)
+    groups = []
+    gid = 40
+    while gid < 256:
+        start = int(tbl[gid])
+        step = int(tbl[gid + 1] - tbl[gid]) if gid + 1 < 256 else 1
+        groups.append((gid, start, step))
+        gid += 8
+    # first-match-wins chain: identity range, then groups top-down.
+    # (L - start) / step stays exact in the double division: doc_len
+    # comes from array size / token counts, far below 2^53.
+    expr = F.when(L < F.lit(40), F.greatest(L, F.lit(0)).cast("int"))
+    for first_id, start, step in reversed(groups):
+        expr = expr.when(
+            L >= F.lit(start),
+            F.least(
+                F.lit(first_id)
+                + F.floor((L - F.lit(start)) / F.lit(step)).cast("int"),
+                F.lit(255),
+            ),
+        )
+    return expr.otherwise(F.lit(0)).cast("int")
+
+
 def fieldnorm_case_sql(col: str = "doc_len") -> str:
     """ANSI-SQL expression computing ``decode(encode(col))``.
 

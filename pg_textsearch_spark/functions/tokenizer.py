@@ -49,13 +49,18 @@ import re
 from collections import Counter
 from dataclasses import dataclass, field
 
-import pandas as pd
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from typing import TYPE_CHECKING
 
 from pg_textsearch_spark.functions.stemmer import stem
 from pg_textsearch_spark.functions.stopwords import ENGLISH_STOPWORDS
+
+if TYPE_CHECKING:  # pragma: no cover — annotations only
+    from pyspark.sql import Column, DataFrame
+
+# pandas / pyspark are imported INSIDE the functions that need them
+# (round 8): the pure-Python tokenize/tokenize_query path is what the
+# Spark-free serving workers import, and a module-level pyspark+pandas
+# import cost every spawned pool worker ~0.6 s and ~90 MB for nothing.
 
 TOKEN_MAX_CHARS = 2047  # Postgres MAXSTRLEN (reference: README.md:581-593)
 CHUNK_BYTES = 256 * 1024  # TP_TSVECTOR_CHUNK_BYTES (reference: build.c:806)
@@ -381,6 +386,14 @@ def tokenize_query(query: str, config: TokenizerConfig | str = "english") -> dic
 
 
 def _stem_udf(cfg: TokenizerConfig):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # pandas_udf resolves the stringified 'pd.Series' type hints (PEP
+    # 563) via THIS module's globals — pd must be visible there even
+    # though the module no longer imports it at top level
+    globals().setdefault("pd", pd)
+    
     # deferred: pandas_udf needs an active SparkSession to parse DDL types
     stem_lang = cfg.stem_lang
 
@@ -410,6 +423,8 @@ def flatten_text_array(col: Column | str) -> Column:
     the concatenated-scalar equivalent exactly (the reference documents
     the same invariant, test/sql/text_array.sql:27-55) — apply before
     ``build_index`` to index an array column."""
+    from pyspark.sql import functions as F
+    
     c = F.col(col) if isinstance(col, str) else col
     return F.array_join(
         F.filter(c, lambda x: x.isNotNull() & (x != F.lit(""))), " "
@@ -418,6 +433,8 @@ def flatten_text_array(col: Column | str) -> Column:
 
 def raw_tokens_column(text_col: Column, config: TokenizerConfig) -> Column:
     """array<string> of lowercased raw word tokens — pure JVM expression."""
+    from pyspark.sql import functions as F
+    
     toks = F.split(F.lower(text_col), config.sql_split_pattern)
     return F.filter(
         toks, lambda t: (t != F.lit("")) & (F.length(t) <= TOKEN_MAX_CHARS)
@@ -443,6 +460,8 @@ def spark_token_table(
     Counter happens in the kernel, so the groupBy only merges across
     Arrow batches.
     """
+    from pyspark.sql import functions as F
+
     cfg = get_config(config) if isinstance(config, str) else config
     if cfg.parser == "pg":
         return _pg_spark_token_table(df, id_col, text_col, cfg)
@@ -468,6 +487,8 @@ def _pg_spark_token_table(
     output arrays, no per-posting Python objects downstream. The
     kernel IS the conformance oracle (``tokenize``), so the Spark path
     cannot diverge from the fixture-pinned semantics."""
+    import pandas as pd
+    
     import numpy as np
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -515,6 +536,8 @@ def _pg_spark_tokens_with_len(
     NULL text) emit one term=NULL row so the doclen table can be
     projected from this output alone: every doc counts in N/avgdl
     (docmap rule) without re-scanning the input."""
+    import pandas as pd
+    
     import numpy as np
 
     from pg_textsearch_spark.functions.fieldnorm import encode_fieldnorm
@@ -558,6 +581,8 @@ def _pg_spark_tokens_with_len(
 
 def spark_doclen(tokens: DataFrame, id_col: str) -> DataFrame:
     """tokens(id, term, tf) -> (id, doc_len) with doc_len = sum(tf)."""
+    from pyspark.sql import functions as F
+    
     return tokens.groupBy(id_col).agg(F.sum("tf").cast("long").alias("doc_len"))
 
 
@@ -572,6 +597,14 @@ def tokenize_vector_udf(config_name: str = "english"):
     Used for the memtable-style incremental path and per-row scoring
     operator, where one column must carry the whole tokenized doc.
     """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # pandas_udf resolves the stringified 'pd.Series' type hints (PEP
+    # 563) via THIS module's globals — pd must be visible there even
+    # though the module no longer imports it at top level
+    globals().setdefault("pd", pd)
+    
     cfg = get_config(config_name)
 
     @pandas_udf(_VECTOR_SCHEMA)

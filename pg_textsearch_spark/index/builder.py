@@ -34,7 +34,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -80,9 +79,9 @@ BROADCAST_VOCAB_MAX = int(
 )
 
 
-def term_bucket(term: str, n_buckets: int) -> int:
-    """Driver-side bucket of a term; must equal the Spark-side expr."""
-    return zlib.crc32(term.encode("utf-8")) % n_buckets
+# term_bucket lives in index/codec.py (pyspark-free) so serving
+# workers import it without pyspark; re-exported here for callers
+from pg_textsearch_spark.index.codec import term_bucket  # noqa: F401,E402
 
 
 def term_bucket_expr(term_col, n_buckets: int):
@@ -675,13 +674,12 @@ def _ids_map(
         .withColumn(out_col, F.row_number().over(w) + F.col("_offset") - 1)
         .drop("_pid", "_offset")
     )
-    # persist the (key, doc_id) output: it has two consumers in a
-    # keyed build — the broadcast join-back AND the keymap write — and
-    # without the cache each re-pays the per-partition url sort
-    # (round-8: keymap_sec 5.7 s -> cache read at 2 cores / 2M pages)
-    if persisted is not None:
-        ids = ids.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted.append(ids)
+    # NOT persisted (round-8 A/B, measured and rejected): ids has two
+    # consumers in a keyed build (broadcast join-back + keymap write),
+    # but the keymap's recompute runs CONCURRENTLY under the postings
+    # action on otherwise-idle cores, while a persist moves the cache
+    # build onto the critical path inside the broadcast evaluation —
+    # interleaved 2M/8-core A/B: 53.1 s (persist) vs 47.1 s median.
     return ids, sum(counts.values())
 
 
@@ -901,7 +899,22 @@ def _words_segment_dataframes(
     base = docs.select(id_expr, toks.alias("toks")).withColumn(
         "doc_len", F.size("toks").cast("long")
     )
-    base = base.withColumn("fieldnorm", _fieldnorm_udf()("doc_len"))
+    if os.environ.get("PGTS_FIELDNORM_UDF", "0") == "1":
+        # Arrow-batched UDF variant (pre-round-8 default), kept for A/B
+        base = base.withColumn("fieldnorm", _fieldnorm_udf()("doc_len"))
+    else:
+        # codegen CASE-chain encode (functions/fieldnorm.py): the base
+        # build then has NO Python node — scan -> tokenize -> project
+        # -> cache is one whole-stage-codegen span (round 8, guide §4.1;
+        # unlike the higher-order fieldnorm_encode_col this expression
+        # does not disable codegen)
+        from pg_textsearch_spark.functions.fieldnorm import (
+            fieldnorm_encode_expr,
+        )
+
+        base = base.withColumn(
+            "fieldnorm", fieldnorm_encode_expr(F.col("doc_len"))
+        )
     # doc-level rows only (id, toks, len, norm): far lighter to persist
     # than the round-1 token-level table. Dropping this persist was
     # measured and REJECTED (round 5): building the array<string>
@@ -1352,32 +1365,33 @@ def postings_from_flat_ids(
 #: without this a query reads its whole bucket). Shared by bulk build
 #: and merge/vacuum via SegmentStore.write.
 def _postings_write_opts() -> dict:
-    """Postings write layout (round-8 optimization, guide §2.4).
+    """Postings write layout (round-8 A/B, guide §2.4 — MEASURED AND
+    KEPT AS-IS).
 
-    Default: NO pre-write exchange — the dynamic-partition writer fans
-    each kernel-output task into its buckets' dirs after a LOCAL sort
-    by (bucket, term, run). The old ``repartition("bucket")`` moved
-    every encoded block a second time (measured 403 MB shuffled for a
-    2M-page build, −3.7 s wall at 8 cores when dropped; query
-    latencies unchanged — the dir layout and row-group term-sort are
-    identical, just one file per kernel task per bucket instead of one
-    per bucket). At cluster scale the old exchange was also the wrong
-    shape: 32 bucket values cap the write parallelism at 32 tasks and
-    make each output file corpus/32 bytes, while the no-exchange
-    layout keeps files at task size (the 128 MB–1 GB guide §6 range).
-    PGTS_BUCKET_SHUFFLE=1 restores the old single-file-per-bucket
-    layout."""
-    if os.environ.get("PGTS_BUCKET_SHUFFLE", "0") == "1":
+    The pre-write ``repartition("bucket")`` moves every encoded block
+    a second time (403 MB re-shuffled on a 2M-page build, ~1 s wall at
+    8 cores). PGTS_BUCKET_SHUFFLE=0 drops it: the dynamic-partition
+    writer fans each kernel task into its buckets' dirs after a LOCAL
+    sort — but that leaves one file per (kernel task, bucket), and at
+    the 1M-page/64-partition bench shape each file is ~60 KB with a
+    single row group spanning the bucket's whole term range, so
+    row-group term pruning stops pruning: q_4tok/q_8tok regressed
+    0.20→0.29 / 0.30→0.40 s and the cold serve read went 4× slower
+    (0.10→0.45 s for 8 fresh terms). The exchange is the price of the
+    dictionary-like read layout; it stays. (On a 100 TB cluster the
+    right shape is more buckets — n_buckets scales with corpus so each
+    bucket stays one executor-sized write — not a layout change.)"""
+    if os.environ.get("PGTS_BUCKET_SHUFFLE", "1") == "0":
         return dict(
             partition_by="bucket",
-            sort_within=["term", "run"],
+            sort_within=["bucket", "term", "run"],
             parquet_block_size=1 << 20,
+            no_exchange=True,
         )
     return dict(
         partition_by="bucket",
-        sort_within=["bucket", "term", "run"],
+        sort_within=["term", "run"],
         parquet_block_size=1 << 20,
-        no_exchange=True,
     )
 
 

@@ -35,6 +35,8 @@ coexist in one index.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 BLOCK_SIZE = 128  # TP_BLOCK_SIZE, "matches Tantivy" (reference: format.h:208)
@@ -198,3 +200,10 @@ def decompress_block(payload: bytes):
     fieldnorms = np.frombuffer(buf[off : off + n], dtype=np.uint8).copy()
     doc_ids = np.cumsum(deltas, dtype=np.uint64)
     return doc_ids, tfs, fieldnorms
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Bucket of a term (crc32 % n_buckets) — lives here (pyspark-free)
+    so Spark-free serving workers can import it without pyspark; must
+    equal builder.term_bucket_expr's JVM expression."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets

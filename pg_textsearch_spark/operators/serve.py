@@ -40,7 +40,7 @@ import numpy as np
 
 from pg_textsearch_spark.functions.bm25 import bm25_term_score32
 from pg_textsearch_spark.functions.fieldnorm import FIELDNORM_DECODE_TABLE
-from pg_textsearch_spark.index.builder import term_bucket
+from pg_textsearch_spark.index.codec import term_bucket
 from pg_textsearch_spark.index.codec import decompress_block
 from pg_textsearch_spark.functions.tokenizer import tokenize_query
 
