@@ -229,7 +229,12 @@ def extract_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(
+    # ship ONLY the columns the kernel reads across the Arrow boundary
+    # (guide §4.2: Spark cannot see inside the function and would
+    # otherwise read+transfer url and any caller-added columns too)
+    cols = [c for c in ("media_id", "kind", "payload", "meta")
+            if c in media.columns]
+    return media.select(*cols).mapInPandas(
         run, "media_id bigint, kind string, features array<float>"
     )
 
